@@ -1,0 +1,194 @@
+"""Configuration system: nested dataclasses with JSON round-trip.
+
+Mirrors the reference's config surface (/root/reference/src/config.py) —
+same sections, same field names where the concept carries over — with
+TPU-native additions (mesh/sharding, dtypes, batched env sizes) and with the
+fields the reference declared but never implemented (Dirichlet noise,
+temperature scheduling, head sizes, dropout — SURVEY.md §2.4) actually wired
+up in this framework.
+"""
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict, dataclass, field
+from typing import Any, Dict, List, Optional
+
+
+@dataclass
+class ModelConfig:
+    """Network architecture (reference: src/config.py:10-18).
+
+    Unlike the reference network (src/model/network.py:56-62), which
+    hard-codes a 256-unit value head and ignores ``dropout``,
+    ``value_head_hidden_size`` and ``dropout`` are honored here. Defaults
+    match the reference's *actual behavior* (256 hidden units, no dropout).
+    """
+
+    board_size: int = 8
+    num_res_blocks: int = 5
+    num_filters: int = 128
+    value_head_hidden_size: int = 256
+    policy_head_channels: int = 2
+    value_head_channels: int = 1
+    dropout: float = 0.0
+    compute_dtype: str = "bfloat16"  # MXU-native; params stay float32
+
+
+@dataclass
+class MCTSConfig:
+    """Search parameters (reference: src/config.py:20-29).
+
+    ``dirichlet_alpha``/``dirichlet_epsilon`` are applied at the root
+    (the reference only declared them — SURVEY.md §2.4).
+    """
+
+    num_simulations: int = 500
+    c_puct: float = 1.0
+    dirichlet_alpha: float = 0.03
+    dirichlet_epsilon: float = 0.25
+    temperature: float = 1.0
+    temperature_threshold: int = 30
+    max_depth: int = 64  # static bound on tree depth under jit
+    batch_size: int = 0  # leaves per NN call per game; 0 = one per sim round
+
+
+@dataclass
+class SelfPlayConfig:
+    """Self-play data generation (reference: src/config.py:31-42).
+
+    ``num_parallel_games`` is the on-device env batch width (the reference
+    accepted it but looped sequentially — SURVEY.md §2.3); temperature
+    scheduling (``temp_threshold``/``temp_init``/``temp_final``) is applied
+    per move as PLAN.md intended.
+    """
+
+    num_games: int = 30
+    num_parallel_games: int = 64
+    save_dir: str = "self_play_data"
+    save_every: int = 10
+    max_moves: int = 60  # 8x8 Reversi: exactly one placement per ply
+    temp_threshold: int = 15
+    temp_init: float = 1.0
+    temp_final: float = 0.1
+
+
+@dataclass
+class TrainingConfig:
+    """Learner parameters (reference: src/config.py:44-60)."""
+
+    batch_size: int = 64
+    num_epochs: int = 10  # outer self-play+train iterations (reference naming)
+    learning_rate: float = 0.001
+    weight_decay: float = 1e-4
+    lr_milestones: List[int] = field(default_factory=list)
+    lr_gamma: float = 0.1
+    checkpoint_dir: str = "checkpoints"
+    save_interval: int = 1
+    gradient_clip: float = 1.0
+    policy_loss_weight: float = 1.0
+    value_loss_weight: float = 1.0
+    # "soft" = cross-entropy against the full MCTS visit distribution (the
+    # reference's orphaned trainer, src/training/trainer.py:163); "argmax"
+    # replicates the live pipeline's CE-on-argmax (src/trainer/pipeline.py:308).
+    policy_loss: str = "soft"
+    replay_capacity: int = 200_000  # device-resident replay buffer positions
+    train_on_latest_only: bool = False  # True = reference behavior (no replay)
+
+
+@dataclass
+class TournamentConfig:
+    """Arena/ELO evaluation (reference: src/config.py:62-69)."""
+
+    rounds: int = 20
+    num_simulations: int = 500
+    c_puct: float = 1.0
+    games_per_pair: int = 2  # per round, colors alternated
+    temperature: float = 0.1
+    output_dir: str = "tournament_results"
+    elo_file: str = "elo_ratings.json"
+    elo_k_factor: float = 32.0
+    elo_initial: float = 1200.0
+    promotion_elo_margin: float = 0.0  # new model must beat best by this much
+
+
+@dataclass
+class LoggingConfig:
+    """Logging / metrics (reference: src/config.py:71-79)."""
+
+    log_dir: str = "logs"
+    log_level: str = "INFO"
+    use_tensorboard: bool = True
+    save_checkpoints: bool = True
+    save_best_only: bool = True
+    verbose: bool = True
+
+
+@dataclass
+class MeshConfig:
+    """TPU device-mesh layout (no reference analog — the reference is
+    single-process; SURVEY.md §2.3). Axis sizes of -1 mean "use all
+    remaining devices"."""
+
+    data_axis: int = -1  # self-play games / train batch sharded here
+    model_axis: int = 1  # tensor-parallel axis for the net (1 = replicated)
+
+
+@dataclass
+class Config:
+    """Top-level config (reference: src/config.py:82-122)."""
+
+    project_name: str = "AlphaZero-Reversi-TPU"
+    seed: int = 42
+    env_compat: bool = False  # True = replicate reference rule quirks
+    model: ModelConfig = field(default_factory=ModelConfig)
+    mcts: MCTSConfig = field(default_factory=MCTSConfig)
+    self_play: SelfPlayConfig = field(default_factory=SelfPlayConfig)
+    training: TrainingConfig = field(default_factory=TrainingConfig)
+    tournament: TournamentConfig = field(default_factory=TournamentConfig)
+    logging: LoggingConfig = field(default_factory=LoggingConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    def to_dict(self) -> Dict[str, Any]:
+        return asdict(self)
+
+    def save(self, filepath: str) -> None:
+        os.makedirs(os.path.dirname(os.path.abspath(filepath)), exist_ok=True)
+        with open(filepath, "w") as f:
+            json.dump(self.to_dict(), f, indent=2)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "Config":
+        def sub(section_cls, key):
+            raw = dict(d.get(key, {}))
+            known = {f.name for f in section_cls.__dataclass_fields__.values()}
+            return section_cls(**{k: v for k, v in raw.items() if k in known})
+
+        return cls(
+            project_name=d.get("project_name", "AlphaZero-Reversi-TPU"),
+            seed=d.get("seed", 42),
+            env_compat=d.get("env_compat", False),
+            model=sub(ModelConfig, "model"),
+            mcts=sub(MCTSConfig, "mcts"),
+            self_play=sub(SelfPlayConfig, "self_play"),
+            training=sub(TrainingConfig, "training"),
+            tournament=sub(TournamentConfig, "tournament"),
+            logging=sub(LoggingConfig, "logging"),
+            mesh=sub(MeshConfig, "mesh"),
+        )
+
+    @classmethod
+    def load(cls, filepath: str) -> "Config":
+        with open(filepath) as f:
+            return cls.from_dict(json.load(f))
+
+
+def get_default_config() -> Config:
+    """Default config with LR milestones derived as in the reference
+    (src/config.py:124-134)."""
+    config = Config()
+    config.training.lr_milestones = [
+        config.training.num_epochs // 2,
+        3 * config.training.num_epochs // 4,
+    ]
+    return config
