@@ -1,0 +1,146 @@
+"""MCTS correctness tests — the invariants the reference never tested
+(SURVEY.md §4: visit-count conservation, legality of root children,
+terminal-value handling, noise/temperature behavior)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from alphazero_reversi_tpu.config import MCTSConfig, ModelConfig
+from alphazero_reversi_tpu.env import bitboard as env
+from alphazero_reversi_tpu.mcts import search as mcts_search
+from alphazero_reversi_tpu.mcts import tree as tree_lib
+from alphazero_reversi_tpu.models import resnet
+from alphazero_reversi_tpu.ops import u64
+
+SIMS = 24
+B = 4
+
+
+@pytest.fixture(scope="module")
+def net_and_vars():
+    net = resnet.build_network(
+        ModelConfig(num_res_blocks=1, num_filters=8, compute_dtype="float32"))
+    variables = resnet.init_variables(net, jax.random.PRNGKey(0))
+    return net, variables
+
+
+@pytest.fixture(scope="module")
+def result(net_and_vars):
+    net, variables = net_and_vars
+    roots = env.initial_state((B,))
+    return mcts_search.run_search(
+        net, variables, roots, jax.random.PRNGKey(1),
+        num_simulations=SIMS, c_puct=1.0, dirichlet_alpha=0.3,
+        dirichlet_epsilon=0.25, max_depth=64)
+
+
+def test_visit_conservation(result):
+    # Every simulation increments the root visit exactly once.
+    root_visits = np.asarray(result.tree.visit[:, 0])
+    np.testing.assert_array_equal(root_visits, SIMS)
+    # Root children visits sum to total sims (every sim passes through one
+    # root child unless the root itself were terminal).
+    np.testing.assert_array_equal(
+        np.asarray(result.visit_counts.sum(-1)), SIMS)
+
+
+def test_only_legal_root_actions_visited(result):
+    roots = env.initial_state((B,))
+    legal = np.asarray(jax.vmap(env.legal_action_mask)(roots))
+    counts = np.asarray(result.visit_counts)
+    assert (counts[~legal] == 0).all()
+    assert (counts.sum(-1) > 0).all()
+    probs = np.asarray(result.action_probs)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-5)
+
+
+def test_node_count_bounded(result):
+    counts = np.asarray(result.tree.count)
+    assert (counts <= SIMS + 1).all()
+    assert (counts > 1).all()
+
+
+def test_child_states_consistent(result):
+    """Each root child's stored env state equals stepping the root."""
+    t = result.tree
+    children = np.asarray(t.children[:, 0])  # [B, A]
+    root_black = np.asarray(t.state.black.lo[:, 0])
+    for b in range(B):
+        root_state = jax.tree_util.tree_map(lambda x: x[b, 0], t.state)
+        for a in range(64):
+            c = children[b, a]
+            if c < 0:
+                continue
+            stepped, valid = env.step(root_state, jnp.int32(a))
+            assert bool(valid)
+            assert int(u64.to_int(stepped.black)) == u64.to_int(
+                jax.tree_util.tree_map(lambda x: x[b, c], t.state).black)
+
+
+def test_greedy_temperature():
+    counts = jnp.array([[0, 10, 5, 0]])
+    probs = np.asarray(mcts_search.probs_with_temperature(counts, jnp.float32(0.0)))
+    np.testing.assert_array_equal(probs, [[0, 1, 0, 0]])
+    probs1 = np.asarray(mcts_search.probs_with_temperature(counts, jnp.float32(1.0)))
+    np.testing.assert_allclose(probs1, [[0, 10 / 15, 5 / 15, 0]], rtol=1e-5)
+    # low temperature sharpens
+    probs_low = np.asarray(
+        mcts_search.probs_with_temperature(counts, jnp.float32(0.25)))
+    assert probs_low[0, 1] > probs1[0, 1]
+
+
+def test_dirichlet_noise_stays_on_legal():
+    prior = jnp.array([0.5, 0.5, 0.0, 0.0])
+    legal = jnp.array([True, True, False, False])
+    noisy = np.asarray(mcts_search.add_dirichlet_noise(
+        prior, legal, jax.random.PRNGKey(0), 0.3, 0.25))
+    assert noisy[2] == 0.0 and noisy[3] == 0.0
+    np.testing.assert_allclose(noisy.sum(), 1.0, rtol=1e-6)
+    # different keys -> different noise
+    noisy2 = np.asarray(mcts_search.add_dirichlet_noise(
+        prior, legal, jax.random.PRNGKey(1), 0.3, 0.25))
+    assert not np.allclose(noisy, noisy2)
+
+
+def test_terminal_root_search(net_and_vars):
+    """Search on an already-finished game neither crashes nor allocates."""
+    net, variables = net_and_vars
+    done_state = env.initial_state((2,))._replace(
+        done=jnp.ones(2, jnp.bool_), winner=jnp.array([1, 2], jnp.int32))
+    res = mcts_search.run_search(
+        net, variables, done_state, jax.random.PRNGKey(0),
+        num_simulations=4, c_puct=1.0, dirichlet_alpha=0.3,
+        dirichlet_epsilon=0.25, max_depth=64)
+    assert (np.asarray(res.visit_counts) == 0).all()
+    assert (np.asarray(res.tree.count) == 1).all()
+    # terminal value backed up at root: winner==to_move(black) -> +1, else -1
+    np.testing.assert_allclose(np.asarray(res.root_value), [1.0, -1.0])
+
+
+def test_search_prefers_winning_move(net_and_vars):
+    """MCTS with enough sims finds a mate-in-1 despite an untrained net.
+
+    Position: black plays (0,0) to end the game with a winning score.
+    """
+    net, variables = net_and_vars
+    black = 0
+    white = 1 << 1
+    for i in range(2, 64):
+        black |= 1 << i
+    state = env.initial_state((1,))._replace(
+        black=u64.from_int(black, (1,)), white=u64.from_int(white, (1,)))
+    res = mcts_search.run_search(
+        net, variables, state, jax.random.PRNGKey(0),
+        num_simulations=30, c_puct=1.5, dirichlet_alpha=0.3,
+        dirichlet_epsilon=0.0, max_depth=64, add_noise=False)
+    # (0,0) is the only legal move here, so it must get all visits;
+    # root value should be the win.
+    assert int(np.asarray(res.visit_counts)[0, 0]) == 30
+    np.testing.assert_allclose(np.asarray(res.root_value), [1.0], atol=1e-6)
+
+
+def test_sample_actions_respects_support():
+    probs = jnp.array([[0.0, 1.0, 0.0, 0.0]] * 8)
+    acts = np.asarray(mcts_search.sample_actions(jax.random.PRNGKey(0), probs))
+    assert (acts == 1).all()
