@@ -1,15 +1,16 @@
 """Test configuration: force an 8-device virtual CPU mesh.
 
 Multi-chip sharding is validated without TPU pod hardware by running on the
-CPU backend with ``xla_force_host_platform_device_count=8`` (the TPU-world
-standard for testing multi-device code, see SURVEY.md §4). This must be set
-before jax is imported anywhere, hence it lives at conftest import time.
-"""
-import os
+CPU backend with 8 virtual devices (the TPU-world standard for testing
+multi-device code, see SURVEY.md §4).
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+Note: env-var-based overrides (``JAX_PLATFORMS`` / ``XLA_FLAGS``) do NOT work
+here — the container's ``sitecustomize`` imports jax at interpreter startup
+(before conftest) and registers the remote TPU backend, so jax has already
+read the env. ``jax.config.update`` still works until the first backend
+initialization, which is what we use.
+"""
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
