@@ -1,0 +1,191 @@
+"""Batched self-play data generation, fully on-device.
+
+Replaces ``SelfPlay.generate_games`` / ``generate_training_data``
+(/root/reference/src/self_play/self_play.py:51-219). The reference plays
+games one at a time in a Python ``for`` loop (self_play.py:66) with a fresh
+Python MCTS per move; here ``num_parallel_games`` games advance in lockstep
+inside ONE jitted program: a ``lax.scan`` over move slots whose body runs a
+full batched MCTS (``mcts.search.run_search``), samples actions at the
+scheduled temperature, and steps every env — no host round-trips until the
+trajectory tensor comes back.
+
+Implemented properly here (the reference only declared them in config,
+SURVEY.md §2.4):
+
+* **Temperature scheduling** — ``temp_init`` for the first ``temp_threshold``
+  plies, then ``temp_final`` (PLAN.md:148 intent).
+* **Root Dirichlet noise** — per move, inside ``run_search``.
+* **``max_moves`` cutoff** — games still live at the cap are scored by piece
+  count (the reference declared the field and ignored it, src/config.py:38).
+
+Value-target convention matches ``self_play.py:117-126``: each recorded
+position's value is the final game outcome **from the perspective of the
+player to move at that position** (+1 win / -1 loss / 0 draw).
+
+Policy targets are the raw (temperature-1) root visit distribution — the
+standard AlphaZero target. The reference instead stored the
+temperature-shaped distribution it sampled from (self_play.py:82-105) and
+then its live trainer discarded even that by taking an argmax
+(pipeline.py:308-311); recording tau=1 visits is the documented, intentional
+divergence (SURVEY.md §7 build plan, stage 4).
+
+8x8 Reversi note: because ``env.step`` folds auto-pass into placement moves
+(bitboard.py step, mirroring board.py:242-249), every live state has at least
+one legal *placement*; explicit pass actions never occur in self-play, so 60
+move slots (one per empty square) always reach the terminal state.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import Config, MCTSConfig, SelfPlayConfig
+from .env import bitboard as env
+from .mcts import search as search_lib
+
+
+class Trajectory(NamedTuple):
+    """Self-play results. ``T`` = move slots, ``B`` = parallel games.
+
+    ``valid[t, b]`` marks slots where game ``b`` was still live; positions
+    with ``valid == False`` are padding (game already finished) and must be
+    masked out of training.
+    """
+
+    planes: jax.Array  # [T, B, 8, 8, 3] f32 canonical NN input
+    policy: jax.Array  # [T, B, 65] f32 tau=1 root visit distribution
+    value: jax.Array  # [T, B] f32 outcome from the mover's perspective
+    to_move: jax.Array  # [T, B] i32
+    valid: jax.Array  # [T, B] bool
+    final_state: env.EnvState  # [B] terminal (or cutoff) states
+    actions: jax.Array  # [T, B] i32 played action (or -1 on padding)
+
+    @property
+    def num_positions(self) -> jax.Array:
+        return self.valid.sum()
+
+
+def _outcome_value(final: env.EnvState, to_move: jax.Array) -> jax.Array:
+    """Outcome in {-1, 0, +1} from ``to_move``'s POV, scoring cutoff games
+    by piece count (max_moves draw rule the reference declared but never
+    implemented, src/config.py:38)."""
+    nb, nw = env.score(final)
+    count_winner = jnp.where(nb > nw, env.BLACK,
+                             jnp.where(nw > nb, env.WHITE, 0)).astype(jnp.int32)
+    winner = jnp.where(final.done, final.winner, count_winner)
+    win = winner == to_move
+    lose = winner == (3 - to_move)
+    return jnp.where(win, 1.0, jnp.where(lose, -1.0, 0.0)).astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("net", "num_games", "num_simulations", "max_depth",
+                     "max_moves", "compat"),
+)
+def play_games(net, variables: Dict[str, Any], key: jax.Array, *,
+               num_games: int, num_simulations: int, c_puct: float,
+               dirichlet_alpha: float, dirichlet_epsilon: float,
+               temp_threshold: int, temp_init: float, temp_final: float,
+               max_depth: int = 64, max_moves: int = 60,
+               compat: bool = False) -> Trajectory:
+    """Play ``num_games`` games in lockstep; one XLA program end to end."""
+    states = env.initial_state((num_games,))
+
+    def move_step(carry, xs):
+        states, key = carry
+        t, step_key = xs
+        search_key, sample_key = jax.random.split(step_key)
+
+        result = search_lib.run_search(
+            net, variables, states, search_key,
+            num_simulations=num_simulations, c_puct=c_puct,
+            dirichlet_alpha=dirichlet_alpha,
+            dirichlet_epsilon=dirichlet_epsilon,
+            max_depth=max_depth, compat=compat, add_noise=True)
+
+        temp = jnp.where(t < temp_threshold, jnp.float32(temp_init),
+                         jnp.float32(temp_final))
+        probs = search_lib.probs_with_temperature(result.visit_counts, temp)
+        actions = search_lib.sample_actions(sample_key, probs)
+
+        planes = env.canonical_planes(states, compat=compat)
+        live = ~states.done
+        record = (planes, result.action_probs, states.to_move, live,
+                  jnp.where(live, actions, -1))
+
+        new_states, _ = env.step(states, actions, compat=compat)
+        # finished games hold position (env.step already no-ops on done
+        # states, but keep it explicit)
+        new_states = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(states.done, old, new),
+            new_states, states)
+        return (new_states, key), record
+
+    step_keys = jax.random.split(key, max_moves)
+    ts = jnp.arange(max_moves, dtype=jnp.int32)
+    (final_state, _), (planes, policy, to_move, valid, actions) = jax.lax.scan(
+        move_step, (states, key), (ts, step_keys))
+
+    value = jax.vmap(_outcome_value, in_axes=(None, 0))(final_state, to_move)
+    value = jnp.where(valid, value, 0.0)
+    return Trajectory(planes=planes, policy=policy, value=value,
+                      to_move=to_move, valid=valid, final_state=final_state,
+                      actions=actions)
+
+
+def flatten_trajectory(traj: Trajectory
+                       ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """[T, B, ...] -> flat [T*B, ...] ``(planes, policy, value, valid)``.
+
+    The analog of ``SelfPlay.generate_training_data``'s array packing
+    (self_play.py:161-219), except padding rows are *masked*, not dropped —
+    static shapes for XLA; the replay buffer skips invalid rows on insert.
+    """
+    t, b = traj.valid.shape
+    return (
+        traj.planes.reshape(t * b, *traj.planes.shape[2:]),
+        traj.policy.reshape(t * b, traj.policy.shape[-1]),
+        traj.value.reshape(t * b),
+        traj.valid.reshape(t * b),
+    )
+
+
+class SelfPlay:
+    """Object wrapper matching the reference's ``SelfPlay`` surface
+    (self_play.py:18-49) over the functional core."""
+
+    def __init__(self, net, variables, mcts_config: MCTSConfig,
+                 sp_config: SelfPlayConfig, compat: bool = False):
+        self.net = net
+        self.variables = variables
+        self.mcts_config = mcts_config
+        self.sp_config = sp_config
+        self.compat = compat
+
+    def generate_games(self, key: jax.Array,
+                       num_games: int | None = None) -> Trajectory:
+        n = num_games or self.sp_config.num_parallel_games
+        return play_games(
+            self.net, self.variables, key,
+            num_games=n,
+            num_simulations=self.mcts_config.num_simulations,
+            c_puct=self.mcts_config.c_puct,
+            dirichlet_alpha=self.mcts_config.dirichlet_alpha,
+            dirichlet_epsilon=self.mcts_config.dirichlet_epsilon,
+            temp_threshold=self.sp_config.temp_threshold,
+            temp_init=self.sp_config.temp_init,
+            temp_final=self.sp_config.temp_final,
+            max_depth=self.mcts_config.max_depth,
+            max_moves=self.sp_config.max_moves,
+            compat=self.compat,
+        )
+
+    def generate_training_data(self, key: jax.Array,
+                               num_games: int | None = None):
+        """(planes, policy, value, valid) flat arrays
+        (self_play.py:161-219 analog)."""
+        return flatten_trajectory(self.generate_games(key, num_games))
