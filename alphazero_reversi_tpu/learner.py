@@ -1,0 +1,175 @@
+"""The learner: optax optimizer, loss, and the jitted SGD step.
+
+Replaces the reference's per-iteration training epoch
+(/root/reference/src/trainer/pipeline.py:272-366): AdamW + MultiStepLR +
+global-norm gradient clipping, policy cross-entropy + value MSE. Differences,
+all deliberate and configurable:
+
+* **Soft policy targets by default** (``policy_loss="soft"``): cross-entropy
+  against the full MCTS visit distribution — the loss the reference's
+  *orphaned* trainer intended (src/training/trainer.py:163, which NameErrors
+  on an unimported ``F``). ``policy_loss="argmax"`` replicates the live
+  pipeline's CE-on-argmax (pipeline.py:308-311) exactly.
+* The whole step (loss, grads, clip, update, BN stat update) is ONE jitted
+  XLA program with donated state — no DataLoader workers, no host loop
+  (pipeline.py:283-289's ``num_workers=4`` has no TPU analog; the batch is
+  gathered from the HBM replay buffer by the caller).
+* LR schedule: ``optax.piecewise_constant_schedule`` == torch MultiStepLR
+  (pipeline.py:99-112 semantics, milestones in *iterations*).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .config import TrainingConfig
+from .models import resnet
+
+
+class TrainState(NamedTuple):
+    """Learner state pytree (checkpointed wholesale)."""
+
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jax.Array  # scalar i32 — SGD steps taken
+
+
+def lr_at_iteration(cfg: TrainingConfig, iteration: int) -> float:
+    """MultiStepLR value at an outer iteration: lr * gamma^(milestones passed).
+
+    The reference steps torch's MultiStepLR once per self-play iteration
+    (pipeline.py:99-112 construction, :132 ``scheduler.step()``) — the
+    milestone unit is *iterations*, not SGD steps, so the LR is computed
+    host-side per iteration and injected into the optimizer (see
+    ``set_learning_rate``).
+    """
+    passed = sum(1 for m in cfg.lr_milestones if iteration >= int(m))
+    return cfg.learning_rate * (cfg.lr_gamma ** passed)
+
+
+def make_optimizer(cfg: TrainingConfig) -> optax.GradientTransformation:
+    """AdamW + grad clip (pipeline.py:91-97 optimizer, :333 clipping)."""
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.gradient_clip),
+        optax.inject_hyperparams(optax.adamw)(
+            learning_rate=cfg.learning_rate,
+            weight_decay=cfg.weight_decay),
+    )
+
+
+def set_learning_rate(state: "TrainState", lr: float) -> "TrainState":
+    """Set the injected LR (the ``scheduler.step()`` analog)."""
+    clip_state, adamw_state = state.opt_state
+    hp = dict(adamw_state.hyperparams)
+    hp["learning_rate"] = jnp.asarray(lr, dtype=hp["learning_rate"].dtype)
+    return state._replace(
+        opt_state=(clip_state, adamw_state._replace(hyperparams=hp)))
+
+
+def current_learning_rate(state: "TrainState") -> float:
+    return float(state.opt_state[1].hyperparams["learning_rate"])
+
+
+def create_train_state(net, variables: Dict[str, Any],
+                       cfg: TrainingConfig) -> TrainState:
+    tx = make_optimizer(cfg)
+    # copy: train_step donates the state, which would otherwise invalidate
+    # the caller's ``variables`` buffers after the first step
+    params = jax.tree_util.tree_map(jnp.copy, variables["params"])
+    batch_stats = jax.tree_util.tree_map(jnp.copy, variables["batch_stats"])
+    return TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        step=jnp.int32(0),
+    )
+
+
+def variables_of(state: TrainState) -> Dict[str, Any]:
+    """Flax variable dict for inference from a TrainState."""
+    return {"params": state.params, "batch_stats": state.batch_stats}
+
+
+def loss_fn(net, params, batch_stats, planes: jax.Array, policy_tgt: jax.Array,
+            value_tgt: jax.Array, *, policy_loss: str, policy_weight: float,
+            value_weight: float, dropout_rng: Optional[jax.Array] = None):
+    """Combined loss -> (total, (aux dict, new batch_stats))."""
+    (logits, value), mutated = resnet.apply_train(
+        net, {"params": params, "batch_stats": batch_stats}, planes,
+        dropout_rng=dropout_rng)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    if policy_loss == "soft":
+        # -sum p * log q  (src/training/trainer.py:163 intent)
+        p_loss = -(policy_tgt * logp).sum(axis=-1).mean()
+    elif policy_loss == "argmax":
+        # CE on argmax of the MCTS distribution (pipeline.py:308-311)
+        hard = jnp.argmax(policy_tgt, axis=-1)
+        p_loss = -jnp.take_along_axis(logp, hard[:, None], axis=-1).mean()
+    else:
+        raise ValueError(f"unknown policy_loss {policy_loss!r}")
+    v_loss = jnp.mean((value - value_tgt) ** 2)
+    total = policy_weight * p_loss + value_weight * v_loss
+    aux = {"loss": total, "policy_loss": p_loss, "value_loss": v_loss}
+    return total, (aux, mutated["batch_stats"])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("net", "tx", "policy_loss", "policy_weight",
+                     "value_weight"),
+    donate_argnames=("state",),
+)
+def train_step(net, tx, state: TrainState, planes: jax.Array,
+               policy_tgt: jax.Array, value_tgt: jax.Array,
+               dropout_rng: Optional[jax.Array] = None, *,
+               policy_loss: str = "soft", policy_weight: float = 1.0,
+               value_weight: float = 1.0
+               ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+    """One SGD step. ``state`` is donated (updated in place in HBM)."""
+    grad_fn = jax.value_and_grad(
+        lambda p: loss_fn(net, p, state.batch_stats, planes, policy_tgt,
+                          value_tgt, policy_loss=policy_loss,
+                          policy_weight=policy_weight,
+                          value_weight=value_weight,
+                          dropout_rng=dropout_rng),
+        has_aux=True)
+    (_, (aux, new_batch_stats)), grads = grad_fn(state.params)
+    updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    aux["grad_norm"] = optax.global_norm(grads)
+    return TrainState(params=new_params, batch_stats=new_batch_stats,
+                      opt_state=new_opt_state, step=state.step + 1), aux
+
+
+class Learner:
+    """Convenience wrapper binding net + config to the functional step."""
+
+    def __init__(self, net, variables: Dict[str, Any], cfg: TrainingConfig):
+        self.net = net
+        self.cfg = cfg
+        self.tx = make_optimizer(cfg)
+        self.state = create_train_state(net, variables, cfg)
+
+    @property
+    def variables(self) -> Dict[str, Any]:
+        return variables_of(self.state)
+
+    def set_iteration(self, iteration: int) -> None:
+        """Apply the MultiStepLR schedule for this outer iteration."""
+        self.state = set_learning_rate(self.state,
+                                       lr_at_iteration(self.cfg, iteration))
+
+    def step(self, planes, policy_tgt, value_tgt, dropout_rng=None
+             ) -> Dict[str, jax.Array]:
+        self.state, aux = train_step(
+            self.net, self.tx, self.state, planes, policy_tgt, value_tgt,
+            dropout_rng,
+            policy_loss=self.cfg.policy_loss,
+            policy_weight=self.cfg.policy_loss_weight,
+            value_weight=self.cfg.value_loss_weight)
+        return aux

@@ -1,0 +1,103 @@
+"""Learner tests: loss semantics, LR schedule, convergence on a fixed batch —
+training-convergence coverage the reference lacked (SURVEY.md §4)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from alphazero_reversi_tpu import learner
+from alphazero_reversi_tpu.config import ModelConfig, TrainingConfig
+from alphazero_reversi_tpu.models import resnet
+
+
+@pytest.fixture(scope="module")
+def net_and_vars():
+    cfg = ModelConfig(num_res_blocks=1, num_filters=16,
+                      value_head_hidden_size=32, compute_dtype="float32")
+    net = resnet.build_network(cfg)
+    return net, resnet.init_variables(net, jax.random.PRNGKey(0))
+
+
+def _fake_batch(key, n=32):
+    k1, k2, k3 = jax.random.split(key, 3)
+    planes = jax.random.bernoulli(k1, 0.3, (n, 8, 8, 3)).astype(jnp.float32)
+    logits = jax.random.normal(k2, (n, 65))
+    policy = jax.nn.softmax(logits, axis=-1)
+    value = jnp.tanh(jax.random.normal(k3, (n,)))
+    return planes, policy, value
+
+
+def test_loss_decreases_on_fixed_batch(net_and_vars):
+    net, variables = net_and_vars
+    cfg = TrainingConfig(learning_rate=3e-3, gradient_clip=1.0)
+    lrn = learner.Learner(net, variables, cfg)
+    planes, policy, value = _fake_batch(jax.random.PRNGKey(1))
+    losses = [float(lrn.step(planes, policy, value)["loss"])
+              for _ in range(30)]
+    # soft-CE against random targets has ~ln(65) irreducible entropy, so
+    # check absolute improvement, not a ratio
+    assert losses[-1] < losses[0] - 0.5
+    assert int(lrn.state.step) == 30
+
+
+def test_soft_vs_argmax_policy_loss(net_and_vars):
+    net, variables = net_and_vars
+    planes, policy, value = _fake_batch(jax.random.PRNGKey(2), n=8)
+    total_s, (aux_s, _) = learner.loss_fn(
+        net, variables["params"], variables["batch_stats"], planes, policy,
+        value, policy_loss="soft", policy_weight=1.0, value_weight=1.0)
+    total_a, (aux_a, _) = learner.loss_fn(
+        net, variables["params"], variables["batch_stats"], planes, policy,
+        value, policy_loss="argmax", policy_weight=1.0, value_weight=1.0)
+    # same value loss, different policy losses
+    np.testing.assert_allclose(float(aux_s["value_loss"]),
+                               float(aux_a["value_loss"]), rtol=1e-6)
+    assert float(aux_s["policy_loss"]) != pytest.approx(
+        float(aux_a["policy_loss"]))
+    # soft CE >= CE-on-argmax's lower bound: both positive here
+    assert float(aux_s["policy_loss"]) > 0
+
+
+def test_one_hot_targets_make_soft_equal_argmax(net_and_vars):
+    net, variables = net_and_vars
+    planes, _, value = _fake_batch(jax.random.PRNGKey(3), n=8)
+    hard = jax.nn.one_hot(jnp.arange(8) % 65, 65)
+    _, (aux_s, _) = learner.loss_fn(
+        net, variables["params"], variables["batch_stats"], planes, hard,
+        value, policy_loss="soft", policy_weight=1.0, value_weight=1.0)
+    _, (aux_a, _) = learner.loss_fn(
+        net, variables["params"], variables["batch_stats"], planes, hard,
+        value, policy_loss="argmax", policy_weight=1.0, value_weight=1.0)
+    np.testing.assert_allclose(float(aux_s["policy_loss"]),
+                               float(aux_a["policy_loss"]), rtol=1e-5)
+
+
+def test_multistep_lr_schedule(net_and_vars):
+    net, variables = net_and_vars
+    cfg = TrainingConfig(learning_rate=1e-2, lr_milestones=[5, 8],
+                         lr_gamma=0.1)
+    assert learner.lr_at_iteration(cfg, 0) == pytest.approx(1e-2)
+    assert learner.lr_at_iteration(cfg, 4) == pytest.approx(1e-2)
+    assert learner.lr_at_iteration(cfg, 5) == pytest.approx(1e-3)
+    assert learner.lr_at_iteration(cfg, 8) == pytest.approx(1e-4)
+
+    lrn = learner.Learner(net, variables, cfg)
+    lrn.set_iteration(6)
+    assert learner.current_learning_rate(lrn.state) == pytest.approx(1e-3)
+    # LR injection survives a train step
+    planes, policy, value = _fake_batch(jax.random.PRNGKey(4), n=8)
+    lrn.step(planes, policy, value)
+    assert learner.current_learning_rate(lrn.state) == pytest.approx(1e-3)
+
+
+def test_batch_stats_update(net_and_vars):
+    net, variables = net_and_vars
+    cfg = TrainingConfig()
+    lrn = learner.Learner(net, variables, cfg)
+    before = np.asarray(
+        jax.tree_util.tree_leaves(variables["batch_stats"])[0]).copy()
+    planes, policy, value = _fake_batch(jax.random.PRNGKey(5))
+    lrn.step(planes, policy, value)
+    after = np.asarray(
+        jax.tree_util.tree_leaves(lrn.state.batch_stats)[0])
+    assert not np.array_equal(before, after)
