@@ -1,0 +1,107 @@
+"""Arena/ELO tests — ELO math and tournament coverage the reference lacked
+(SURVEY.md §4)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from alphazero_reversi_tpu import arena as arena_lib
+from alphazero_reversi_tpu import elo as elo_lib
+from alphazero_reversi_tpu.config import ModelConfig, TournamentConfig
+from alphazero_reversi_tpu.models import resnet
+
+
+def test_elo_expected_score_symmetry():
+    elo = elo_lib.ELORatingSystem(k=32, initial_rating=1200)
+    assert elo.get_expected_score(1200, 1200) == pytest.approx(0.5)
+    e = elo.get_expected_score(1400, 1200)
+    assert e == pytest.approx(1.0 - elo.get_expected_score(1200, 1400))
+    # 400-point gap => ~0.909 (standard ELO table)
+    assert elo.get_expected_score(1600, 1200) == pytest.approx(
+        10 / 11, abs=1e-6)
+
+
+def test_elo_update_zero_sum_and_k():
+    elo = elo_lib.ELORatingSystem(k=32, initial_rating=1200)
+    rec = elo.update_ratings("a", "b", 1.0)
+    assert elo.ratings["a"] == pytest.approx(1216.0)
+    assert elo.ratings["b"] == pytest.approx(1184.0)
+    assert rec["rating_a_after"] + rec["rating_b_after"] == pytest.approx(2400.0)
+    assert elo.games_played == {"a": 1, "b": 1}
+
+
+def test_elo_json_roundtrip(tmp_path):
+    elo = elo_lib.ELORatingSystem(k=16, initial_rating=1000)
+    elo.update_ratings("x", "y", 0.5)
+    path = str(tmp_path / "elo.json")
+    elo.save_ratings(path)
+    loaded = elo_lib.ELORatingSystem.load_ratings(path)
+    assert loaded.k == 16
+    assert loaded.ratings == pytest.approx(elo.ratings)
+    assert loaded.games_played == elo.games_played
+    assert len(loaded.history) == 1
+
+
+def test_leaderboard_sorted():
+    elo = elo_lib.ELORatingSystem()
+    elo.add_player("low", 1000)
+    elo.add_player("high", 1500)
+    elo.add_player("mid", 1250)
+    board = elo.get_leaderboard()
+    assert [p["player_id"] for p in board] == ["high", "mid", "low"]
+
+
+@pytest.fixture(scope="module")
+def net_and_vars():
+    cfg = ModelConfig(num_res_blocks=1, num_filters=8,
+                      value_head_hidden_size=16, compute_dtype="float32")
+    net = resnet.build_network(cfg)
+    return net, resnet.init_variables(net, jax.random.PRNGKey(0))
+
+
+def test_random_vs_random_match(net_and_vars):
+    net, _ = net_and_vars
+    scores = arena_lib.play_pair(
+        net, None, None, jax.random.PRNGKey(1), num_games=8,
+        num_simulations=4, c_puct=1.0, temperature=1.0,
+        a_random=True, b_random=True)
+    scores = np.asarray(scores)
+    assert scores.shape == (8,)
+    assert set(np.unique(scores)).issubset({0.0, 0.5, 1.0})
+
+
+def test_mcts_vs_random_match(net_and_vars):
+    net, variables = net_and_vars
+    scores = arena_lib.play_pair(
+        net, variables, None, jax.random.PRNGKey(2), num_games=4,
+        num_simulations=8, c_puct=1.0, temperature=0.1,
+        b_random=True)
+    assert np.asarray(scores).shape == (4,)
+
+
+def test_tournament_updates_all_players(net_and_vars):
+    net, variables = net_and_vars
+    cfg = TournamentConfig(rounds=1, num_simulations=4, games_per_pair=2,
+                           temperature=1.0)
+    ar = arena_lib.Arena(net, cfg)
+    ar.add_player("model", variables)
+    ar.add_player("random", None)
+    board = ar.run_tournament(jax.random.PRNGKey(3), rounds=1)
+    assert {p["player_id"] for p in board} == {"model", "random"}
+    assert all(p["games_played"] == 2 for p in board)
+    # zero-sum: total rating conserved
+    total = sum(p["rating"] for p in board)
+    assert total == pytest.approx(2 * cfg.elo_initial)
+
+
+def test_save_results(net_and_vars, tmp_path):
+    net, _ = net_and_vars
+    cfg = TournamentConfig(rounds=1, num_simulations=4, games_per_pair=2)
+    ar = arena_lib.Arena(net, cfg)
+    ar.add_player("r1", None)
+    ar.add_player("r2", None)
+    ar.run_tournament(jax.random.PRNGKey(4), rounds=1)
+    path = str(tmp_path / "results.json")
+    ar.save_results(path)
+    loaded = elo_lib.ELORatingSystem.load_ratings(path)
+    assert set(loaded.ratings) == {"r1", "r2"}
