@@ -1,0 +1,92 @@
+"""Checkpoint / resume via Orbax.
+
+Replaces the reference's ``torch.save`` checkpointing
+(/root/reference/src/trainer/pipeline.py:463-559): one pytree checkpoint
+holding the full training state — params, batch stats, optimizer state, step,
+iteration, best ELO, RNG key, and (optionally) the replay buffer — written
+atomically by ``orbax.checkpoint`` (multi-host-safe on pods), plus a separate
+weights-only "best model" directory mirroring ``best_model.pth``
+(pipeline.py:483-486).
+
+The reference needs three load paths for TorchScript-prefixed state dicts
+(pipeline.py:496-540, mcts.py:458-482); none of that exists here — there is a
+single pytree format.
+"""
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import orbax.checkpoint as ocp
+
+_STEP_RE = re.compile(r"^it_(\d+)$")
+
+
+def _checkpointer() -> ocp.StandardCheckpointer:
+    return ocp.StandardCheckpointer()
+
+
+def checkpoint_path(ckpt_dir: str, iteration: int) -> str:
+    return os.path.join(os.path.abspath(ckpt_dir), f"it_{iteration:06d}")
+
+
+def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    """Most recent ``it_NNNNNN`` directory under ``ckpt_dir``, or None."""
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    if not os.path.isdir(ckpt_dir):
+        return None
+    best = None
+    best_it = -1
+    for name in os.listdir(ckpt_dir):
+        m = _STEP_RE.match(name)
+        if m and int(m.group(1)) > best_it:
+            best_it = int(m.group(1))
+            best = os.path.join(ckpt_dir, name)
+    return best
+
+
+def save_checkpoint(ckpt_dir: str, iteration: int, tree: Dict[str, Any]
+                    ) -> str:
+    """Atomically write ``tree`` as ``<ckpt_dir>/it_<iteration>``.
+
+    ``tree`` is any pytree of arrays/scalars (the pipeline passes
+    ``{"state": TrainState, "iteration": ..., "best_elo": ..., "rng": ...,
+    "replay": ReplayBuffer?}``) — the analog of pipeline.py:469-478's dict.
+    """
+    path = checkpoint_path(ckpt_dir, iteration)
+    ckptr = _checkpointer()
+    ckptr.save(path, tree, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def restore_checkpoint(path: str, template: Dict[str, Any]) -> Dict[str, Any]:
+    """Restore a checkpoint into the structure of ``template`` (a concrete
+    pytree with the right shapes/dtypes, e.g. a freshly initialized state)."""
+    abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct,
+                                      template)
+    return _checkpointer().restore(os.path.abspath(path), abstract)
+
+
+def save_best(ckpt_dir: str, variables: Dict[str, Any]) -> str:
+    """Weights-only best model (``best_model.pth`` analog,
+    pipeline.py:483-486)."""
+    path = os.path.join(os.path.abspath(ckpt_dir), "best_model")
+    ckptr = _checkpointer()
+    ckptr.save(path, variables, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def restore_best(ckpt_dir: str, template: Dict[str, Any]
+                 ) -> Optional[Dict[str, Any]]:
+    """Load the best model's variables if present (pipeline.py:398-434)."""
+    path = os.path.join(os.path.abspath(ckpt_dir), "best_model")
+    if not os.path.isdir(path):
+        return None
+    abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct,
+                                      template)
+    return _checkpointer().restore(path, abstract)

@@ -1,0 +1,170 @@
+"""Command-line interface.
+
+Mirrors the reference's CLI surface (/root/reference/train.py:44-92 —
+``create-config`` / ``train`` / ``continue``; /root/reference/run.py and
+run_pipeline.py — timestamped run dirs with rewritten output paths;
+/root/reference/run_tournament.py:34-163 — checkpoint discovery + round-robin
+vs a random baseline with persistent ELO). Thin argparse over the package:
+all the real work lives in ``pipeline`` / ``arena`` / ``checkpoint``.
+
+The reference's ``train.py continue`` NameErrors on an unimported ``torch``
+(train.py:75, SURVEY.md appendix); here ``continue`` is just ``train
+--resume``.
+"""
+from __future__ import annotations
+
+import argparse
+import datetime
+import glob
+import os
+import sys
+from typing import List, Optional
+
+import jax
+
+from . import checkpoint as ckpt_lib
+from .arena import Arena
+from .config import Config, get_default_config
+from .models import resnet
+from .pipeline import AlphaZeroPipeline
+
+
+def _load_config(path: Optional[str]) -> Config:
+    return Config.load(path) if path else get_default_config()
+
+
+def _make_run_dirs(config: Config, output_dir: str) -> str:
+    """Timestamped run dir with all output paths rewritten into it
+    (run.py:17-36 analog)."""
+    ts = datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
+    run_dir = os.path.join(output_dir, f"run_{ts}")
+    os.makedirs(run_dir, exist_ok=True)
+    config.training.checkpoint_dir = os.path.join(run_dir, "checkpoints")
+    config.logging.log_dir = os.path.join(run_dir, "logs")
+    config.self_play.save_dir = os.path.join(run_dir, "self_play_data")
+    config.tournament.output_dir = os.path.join(run_dir,
+                                                "tournament_results")
+    config.save(os.path.join(run_dir, "config.json"))
+    return run_dir
+
+
+def cmd_create_config(args) -> int:
+    """Scaffold a default config file (train.py:11-42)."""
+    config = get_default_config()
+    config.save(args.output)
+    print(f"wrote default config to {args.output}")
+    return 0
+
+
+def cmd_train(args) -> int:
+    config = _load_config(args.config)
+    if args.iterations is not None:
+        config.training.num_epochs = args.iterations
+    if args.run_dir:
+        _make_run_dirs(config, args.run_dir)
+    pipe = AlphaZeroPipeline(config, run_name=args.run_name)
+    if args.resume:
+        pipe.load_checkpoint(args.checkpoint)
+    pipe.train()
+    return 0
+
+
+def cmd_tournament(args) -> int:
+    """Round-robin over discovered checkpoints + random baseline
+    (run_tournament.py:34-163)."""
+    config = _load_config(args.config)
+    net = resnet.build_network(config.model)
+    template = resnet.init_variables(net, jax.random.PRNGKey(0))
+    from .learner import TrainState, variables_of
+    from .pipeline import make_checkpoint_template
+    full_template = make_checkpoint_template(config)
+
+    ar = Arena(net, config.tournament, compat=config.env_compat)
+    found: List[str] = []
+    for pattern in ("it_*", "best_model"):
+        found.extend(sorted(glob.glob(os.path.join(args.model_dir,
+                                                   pattern))))
+    for path in found:
+        name = os.path.basename(path)
+        try:
+            if name == "best_model":
+                variables = ckpt_lib.restore_best(args.model_dir, template)
+            else:
+                tree = ckpt_lib.restore_checkpoint(path, full_template)
+                state = tree["state"]
+                if not isinstance(state, TrainState):
+                    state = TrainState(*state)
+                variables = variables_of(state)
+        except Exception as e:  # skip incompatible checkpoints, like :103-106
+            print(f"skipping {name}: {e}", file=sys.stderr)
+            continue
+        ar.add_player(name, variables)
+    ar.add_player("random", None)
+
+    elo_path = os.path.join(config.tournament.output_dir,
+                            config.tournament.elo_file)
+    # persistent ratings across runs (run_tournament.py:73-79)
+    if os.path.exists(elo_path):
+        from .elo import ELORatingSystem
+        ar.elo = ELORatingSystem.load_ratings(elo_path)
+        for p in ar.players:
+            ar.elo.add_player(p.name)
+
+    board = ar.run_tournament(jax.random.PRNGKey(config.seed),
+                              rounds=args.rounds)
+    for i, p in enumerate(board):
+        print(f"{i + 1:2d}. {p['player_id']:<30s} "
+              f"{p['rating']:7.1f}  ({p['games_played']} games)")
+    ar.save_results(elo_path)
+    print(f"ratings saved to {elo_path}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="alphazero-reversi-tpu",
+        description="TPU-native AlphaZero Reversi framework")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    c = sub.add_parser("create-config", help="write a default config file")
+    c.add_argument("--output", "-o", default="config.json")
+    c.set_defaults(fn=cmd_create_config)
+
+    t = sub.add_parser("train", help="run the training pipeline")
+    t.add_argument("--config", "-c", default=None)
+    t.add_argument("--iterations", type=int, default=None,
+                   help="override training.num_epochs")
+    t.add_argument("--run-dir", default=None,
+                   help="create a timestamped run dir here (run.py analog)")
+    t.add_argument("--run-name", default="run")
+    t.add_argument("--resume", action="store_true")
+    t.add_argument("--checkpoint", default=None,
+                   help="explicit checkpoint path for --resume")
+    t.set_defaults(fn=cmd_train)
+
+    # `continue` == `train --resume` (train.py:70-92, minus its NameError)
+    k = sub.add_parser("continue", help="resume training from the latest "
+                                        "checkpoint")
+    k.add_argument("--config", "-c", default=None)
+    k.add_argument("--iterations", type=int, default=None)
+    k.add_argument("--run-dir", default=None)
+    k.add_argument("--run-name", default="run")
+    k.add_argument("--checkpoint", default=None)
+    k.set_defaults(fn=cmd_train, resume=True)
+
+    m = sub.add_parser("tournament", help="round-robin ELO tournament over "
+                                          "checkpoints")
+    m.add_argument("--config", "-c", default=None)
+    m.add_argument("--model-dir", required=True)
+    m.add_argument("--rounds", type=int, default=None)
+    m.set_defaults(fn=cmd_tournament)
+    return p
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,254 @@
+"""Training orchestration: the self-play -> train -> evaluate -> checkpoint
+loop.
+
+Replaces ``AlphaZeroPipeline`` (/root/reference/src/trainer/pipeline.py:25-586).
+Per outer iteration (the reference calls these "epochs", config
+``training.num_epochs``):
+
+1. **Self-play** — one jitted batched program (``selfplay.play_games``)
+   instead of the reference's sequential game loop (pipeline.py:152-270).
+2. **Replay insert** — positions go into the HBM ring buffer; with
+   ``train_on_latest_only`` the buffer is cleared first, replicating the
+   reference's train-on-current-iteration-only behavior.
+3. **SGD** — ``ceil(new_positions / batch_size)`` jitted train steps (the
+   analog of the reference's one epoch over the fresh data,
+   pipeline.py:272-366), sampling uniformly from the replay buffer.
+4. **Evaluation** — a fresh batched arena of current vs best vs random
+   (pipeline.py:368-461); the model is promoted to best when its rating
+   exceeds the best model's by ``promotion_elo_margin`` (the gate PLAN.md:160
+   declared; the reference's actual rule is margin 0, pipeline.py:454-456).
+5. **Checkpoint** — full-state Orbax checkpoint every ``save_interval``
+   iterations plus a weights-only best-model save on promotion
+   (pipeline.py:463-486), and checkpoint-on-interrupt (pipeline.py:146-147).
+
+Metric names match the reference (pipeline.py:361-366, :458-461):
+``train/loss``, ``train/policy_loss``, ``train/value_loss``, ``train/lr``,
+``eval/elo``, ``eval/best_elo``.
+"""
+from __future__ import annotations
+
+import math
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import arena as arena_lib
+from . import checkpoint as ckpt_lib
+from . import learner as learner_lib
+from . import replay as replay_lib
+from . import selfplay as selfplay_lib
+from .config import Config
+from .logger import Logger, setup_logger
+from .models import resnet
+
+
+def make_checkpoint_template(config: Config) -> Dict[str, Any]:
+    """A concrete pytree with the shapes/dtypes of this config's checkpoints
+    (for ``checkpoint.restore_checkpoint`` from outside a pipeline, e.g. the
+    tournament CLI)."""
+    net = resnet.build_network(config.model)
+    variables = resnet.init_variables(net, jax.random.PRNGKey(0))
+    lrn = learner_lib.Learner(net, variables, config.training)
+    return {
+        "state": lrn.state,
+        "best_variables": jax.tree_util.tree_map(jnp.copy, lrn.variables),
+        "replay": replay_lib.create(config.training.replay_capacity,
+                                    board_size=config.model.board_size),
+        "iteration": jnp.int32(0),
+        "best_elo": jnp.float32(config.tournament.elo_initial),
+        "rng": jax.random.PRNGKey(0),
+    }
+
+
+class AlphaZeroPipeline:
+    """End-to-end training pipeline (pipeline.py:25-60 init analog)."""
+
+    def __init__(self, config: Config, run_name: str = "run",
+                 logger: Optional[Logger] = None):
+        self.config = config
+        self.key = jax.random.PRNGKey(config.seed)
+
+        self.net = resnet.build_network(config.model)
+        self.key, init_key = jax.random.split(self.key)
+        variables = resnet.init_variables(self.net, init_key)
+
+        self.learner = learner_lib.Learner(self.net, variables,
+                                           config.training)
+        self.buffer = replay_lib.create(config.training.replay_capacity,
+                                        board_size=config.model.board_size)
+        self.selfplay = selfplay_lib.SelfPlay(
+            self.net, variables, config.mcts, config.self_play,
+            compat=config.env_compat)
+
+        # best-so-far model for the promotion gate (best_model.pth analog)
+        self.best_variables = jax.tree_util.tree_map(
+            jnp.copy, self.learner.variables)
+        restored_best = ckpt_lib.restore_best(
+            config.training.checkpoint_dir, self.best_variables)
+        if restored_best is not None:
+            self.best_variables = restored_best
+
+        self.iteration = 0
+        self.best_elo = float(config.tournament.elo_initial)
+        self.metrics_history: list = []
+        self.logger = logger or setup_logger(
+            config.logging.log_dir, run_name,
+            level=config.logging.log_level,
+            use_tensorboard=config.logging.use_tensorboard,
+            verbose=config.logging.verbose)
+        self.logger.log_config(config.to_dict())
+
+    # -- checkpoint plumbing ----------------------------------------------
+    def _checkpoint_tree(self) -> Dict[str, Any]:
+        return {
+            "state": self.learner.state,
+            "best_variables": self.best_variables,
+            "replay": self.buffer,
+            "iteration": jnp.int32(self.iteration),
+            "best_elo": jnp.float32(self.best_elo),
+            "rng": self.key,
+        }
+
+    def save_checkpoint(self) -> str:
+        path = ckpt_lib.save_checkpoint(
+            self.config.training.checkpoint_dir, self.iteration,
+            self._checkpoint_tree())
+        self.logger.info("checkpoint saved: %s", path)
+        return path
+
+    def load_checkpoint(self, path: Optional[str] = None) -> bool:
+        """Restore full training state; ``path=None`` loads the latest
+        (pipeline.py:488-559 / run.py --resume analog)."""
+        if path is None:
+            path = ckpt_lib.latest_checkpoint(
+                self.config.training.checkpoint_dir)
+        if path is None:
+            return False
+        restored = ckpt_lib.restore_checkpoint(path, self._checkpoint_tree())
+        self.learner.state = learner_lib.TrainState(*restored["state"]) \
+            if not isinstance(restored["state"], learner_lib.TrainState) \
+            else restored["state"]
+        self.best_variables = restored["best_variables"]
+        self.buffer = replay_lib.ReplayBuffer(*restored["replay"]) \
+            if not isinstance(restored["replay"], replay_lib.ReplayBuffer) \
+            else restored["replay"]
+        self.iteration = int(restored["iteration"])
+        self.best_elo = float(restored["best_elo"])
+        self.key = restored["rng"]
+        self.logger.info("resumed from %s at iteration %d", path,
+                         self.iteration)
+        return True
+
+    # -- phases -------------------------------------------------------------
+    def _generate_self_play_data(self) -> int:
+        """Self-play + replay insert; returns number of new positions
+        (pipeline.py:152-270 analog)."""
+        self.selfplay.variables = self.learner.variables
+        self.key, sp_key = jax.random.split(self.key)
+        planes, policy, value, valid = self.selfplay.generate_training_data(
+            sp_key, self.config.self_play.num_parallel_games)
+        if self.config.training.train_on_latest_only:
+            self.buffer = replay_lib.reset(self.buffer)
+        self.buffer = replay_lib.add(self.buffer, planes, policy, value,
+                                     valid)
+        return int(valid.sum())
+
+    def _train_epoch(self, num_positions: int) -> Dict[str, float]:
+        """One pass of SGD over the fresh data volume
+        (pipeline.py:272-366 analog)."""
+        cfg = self.config.training
+        steps = max(1, math.ceil(num_positions / cfg.batch_size))
+        agg: Dict[str, float] = {}
+        for _ in range(steps):
+            self.key, sample_key, dropout_key = jax.random.split(self.key, 3)
+            batch = replay_lib.sample(self.buffer, sample_key, cfg.batch_size)
+            aux = self.learner.step(*batch, dropout_rng=dropout_key)
+            for k, v in aux.items():
+                agg[k] = agg.get(k, 0.0) + float(v)
+        return {k: v / steps for k, v in agg.items()} | {"steps": steps}
+
+    def _evaluate_model(self) -> Dict[str, float]:
+        """Fresh tournament: current vs best vs random
+        (pipeline.py:368-461 analog). Returns eval metrics and applies the
+        promotion gate."""
+        cfg = self.config.tournament
+        ar = arena_lib.Arena(self.net, cfg, compat=self.config.env_compat)
+        ar.add_player("current", self.learner.variables)
+        ar.add_player("best", self.best_variables)
+        ar.add_player("random", None)
+        self.key, t_key = jax.random.split(self.key)
+        board = {p["player_id"]: p["rating"]
+                 for p in ar.run_tournament(t_key)}
+        current_elo = board["current"]
+        promoted = current_elo > board["best"] + cfg.promotion_elo_margin
+        if promoted:
+            self.best_variables = jax.tree_util.tree_map(
+                jnp.copy, self.learner.variables)
+            self.best_elo = current_elo
+            ckpt_lib.save_best(self.config.training.checkpoint_dir,
+                               self.best_variables)
+            self.logger.info("model promoted to best (elo %.1f > %.1f)",
+                             current_elo, board["best"])
+        return {"eval/elo": current_elo, "eval/best_elo": self.best_elo,
+                "eval/random_elo": board["random"],
+                "eval/promoted": float(promoted)}
+
+    # -- main loop ----------------------------------------------------------
+    def train(self, num_iterations: Optional[int] = None) -> None:
+        """Run the training loop (pipeline.py:114-150)."""
+        total = (num_iterations if num_iterations is not None
+                 else self.config.training.num_epochs)
+        try:
+            while self.iteration < total:
+                it = self.iteration
+                t0 = time.time()
+                self.learner.set_iteration(it)
+
+                n_new = self._generate_self_play_data()
+                t_sp = time.time()
+                train_metrics = self._train_epoch(n_new)
+                t_tr = time.time()
+                eval_metrics = self._evaluate_model()
+                t_ev = time.time()
+
+                metrics = {
+                    "train/loss": train_metrics["loss"],
+                    "train/policy_loss": train_metrics["policy_loss"],
+                    "train/value_loss": train_metrics["value_loss"],
+                    "train/lr": learner_lib.current_learning_rate(
+                        self.learner.state),
+                    "train/grad_norm": train_metrics["grad_norm"],
+                    "selfplay/positions": n_new,
+                    "selfplay/seconds": t_sp - t0,
+                    "train/seconds": t_tr - t_sp,
+                    "eval/seconds": t_ev - t_tr,
+                    "replay/size": int(self.buffer.size),
+                    **eval_metrics,
+                }
+                self.metrics_history.append(metrics)
+                self.logger.log_metrics(metrics, it)
+
+                self.iteration = it + 1
+                if (self.config.logging.save_checkpoints
+                        and self.iteration
+                        % self.config.training.save_interval == 0):
+                    self.save_checkpoint()
+        except KeyboardInterrupt:
+            # save-on-interrupt (pipeline.py:146-147, run.py:84-89)
+            self.logger.warning("interrupted — saving checkpoint")
+            self.save_checkpoint()
+            raise
+
+
+def train_from_config(config: Config, run_name: str = "run",
+                      resume: bool = False) -> AlphaZeroPipeline:
+    """CLI entry helper (pipeline.py:561-586 analog)."""
+    pipe = AlphaZeroPipeline(config, run_name=run_name)
+    if resume:
+        pipe.load_checkpoint()
+    pipe.train()
+    return pipe

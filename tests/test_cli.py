@@ -1,0 +1,75 @@
+"""CLI end-to-end tests: create-config -> train -> resume -> tournament."""
+import json
+import os
+
+import pytest
+
+from alphazero_reversi_tpu import cli
+from alphazero_reversi_tpu.config import Config
+
+
+def _write_tiny_config(tmp_path) -> str:
+    cfg = Config()
+    cfg.seed = 1
+    cfg.model.num_res_blocks = 1
+    cfg.model.num_filters = 8
+    cfg.model.value_head_hidden_size = 16
+    cfg.model.compute_dtype = "float32"
+    cfg.mcts.num_simulations = 8
+    cfg.self_play.num_parallel_games = 2
+    cfg.training.batch_size = 16
+    cfg.training.num_epochs = 1
+    cfg.training.replay_capacity = 1024
+    cfg.training.checkpoint_dir = str(tmp_path / "ckpt")
+    cfg.tournament.rounds = 1
+    cfg.tournament.num_simulations = 4
+    cfg.tournament.games_per_pair = 2
+    cfg.tournament.output_dir = str(tmp_path / "tourn")
+    cfg.logging.log_dir = str(tmp_path / "logs")
+    cfg.logging.use_tensorboard = False
+    cfg.logging.verbose = False
+    path = str(tmp_path / "config.json")
+    cfg.save(path)
+    return path
+
+
+def test_create_config(tmp_path):
+    out = str(tmp_path / "default.json")
+    assert cli.main(["create-config", "--output", out]) == 0
+    loaded = Config.load(out)
+    assert loaded.model.num_res_blocks == 5
+    assert loaded.training.lr_milestones  # derived milestones present
+
+
+def test_train_resume_tournament(tmp_path):
+    cfg_path = _write_tiny_config(tmp_path)
+    assert cli.main(["train", "--config", cfg_path]) == 0
+    ckpt_dir = str(tmp_path / "ckpt")
+    assert any(n.startswith("it_") for n in os.listdir(ckpt_dir))
+
+    # `continue` picks up the checkpoint and runs one more iteration
+    assert cli.main(["continue", "--config", cfg_path,
+                     "--iterations", "2"]) == 0
+    assert "it_000002" in os.listdir(ckpt_dir)
+
+    # tournament over the saved checkpoints + random baseline
+    assert cli.main(["tournament", "--config", cfg_path,
+                     "--model-dir", ckpt_dir, "--rounds", "1"]) == 0
+    elo_path = os.path.join(str(tmp_path / "tourn"), "elo_ratings.json")
+    assert os.path.exists(elo_path)
+    with open(elo_path) as f:
+        data = json.load(f)
+    assert "random" in data["ratings"]
+    assert any(k.startswith("it_") for k in data["ratings"])
+
+
+def test_run_dir_rewrites_paths(tmp_path):
+    cfg_path = _write_tiny_config(tmp_path)
+    run_parent = str(tmp_path / "runs")
+    assert cli.main(["train", "--config", cfg_path,
+                     "--run-dir", run_parent]) == 0
+    runs = os.listdir(run_parent)
+    assert len(runs) == 1 and runs[0].startswith("run_")
+    run_dir = os.path.join(run_parent, runs[0])
+    assert os.path.isdir(os.path.join(run_dir, "checkpoints"))
+    assert os.path.exists(os.path.join(run_dir, "config.json"))
