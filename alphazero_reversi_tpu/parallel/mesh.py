@@ -1,0 +1,75 @@
+"""Device mesh construction.
+
+The reference has no distributed backend at all (SURVEY.md §2.3: the sole
+``torch.distributed`` import is unused; its "multi-GPU" support is a
+host-round-trip inference splitter, mcts.py:488-542). Here multi-chip is
+first-class: a ``jax.sharding.Mesh`` with a ``data`` axis (self-play games /
+train batch) and a ``model`` axis (reserved for tensor parallelism; the
+flagship net is a small convnet, so the default model-axis size is 1 and all
+scaling rides the data axis — SURVEY.md §5 "long-context" note: the
+framework's 'long dimension' is the number of concurrent games).
+
+Multi-host: call ``initialize_distributed()`` (a ``jax.distributed``
+wrapper) before building the mesh; ``jax.devices()`` then spans all hosts
+and collectives compile onto ICI/DCN automatically.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import MeshConfig
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """Multi-host process-group init (``jax.distributed.initialize``).
+
+    No-op on a single host with no coordinator configured.
+    """
+    if coordinator_address is None and num_processes is None:
+        return
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def make_mesh(cfg: Optional[MeshConfig] = None,
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Build a ``(data, model)`` mesh. Axis size -1 = all remaining devices."""
+    cfg = cfg or MeshConfig()
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    model = cfg.model_axis if cfg.model_axis > 0 else 1
+    data = cfg.data_axis if cfg.data_axis > 0 else n // model
+    if data * model != n:
+        raise ValueError(
+            f"mesh {data}x{model} does not cover {n} devices")
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for a batch-leading array: split dim 0 over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree):
+    """Place a pytree of batch-leading arrays sharded over the data axis."""
+    return jax.device_put(tree, data_sharding(mesh))
+
+
+def replicate(mesh: Mesh, tree):
+    """Place a pytree fully replicated on every device."""
+    return jax.device_put(tree, replicated(mesh))

@@ -91,9 +91,17 @@ def play_games(net, variables: Dict[str, Any], key: jax.Array, *,
                dirichlet_alpha: float, dirichlet_epsilon: float,
                temp_threshold: int, temp_init: float, temp_final: float,
                max_depth: int = 64, max_moves: int = 60,
-               compat: bool = False) -> Trajectory:
-    """Play ``num_games`` games in lockstep; one XLA program end to end."""
-    states = env.initial_state((num_games,))
+               compat: bool = False,
+               init_states: env.EnvState | None = None) -> Trajectory:
+    """Play ``num_games`` games in lockstep; one XLA program end to end.
+
+    ``init_states`` (batch ``[num_games]``) overrides the standard starting
+    position — pass device-placed (e.g. mesh-sharded, see ``parallel.dp``)
+    states to shard self-play across chips; XLA propagates the sharding
+    through the whole program.
+    """
+    states = (init_states if init_states is not None
+              else env.initial_state((num_games,)))
 
     def move_step(carry, xs):
         states, key = carry
