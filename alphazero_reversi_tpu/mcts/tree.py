@@ -168,31 +168,41 @@ def expand_and_backup(tree: Tree, leaf: jax.Array, action: jax.Array,
     ``child_value`` must already be the terminal outcome when
     ``child_state.done`` (the search driver substitutes it), from the
     perspective of ``child_state.to_move``.
+
+    Branch-free on purpose: under ``vmap`` a ``lax.cond`` here would lower
+    to a select that materializes TWO complete tree copies ([B, N, A]
+    arrays) per simulation — measured ~20ms/round at B=1024, cap 401 on a
+    v5e, two orders of magnitude over these row-sized scatters. For a
+    terminal leaf the child row is still written at ``new_idx`` but
+    ``count`` is not advanced, so the slot stays free and is overwritten by
+    the next real expansion.
     """
-    is_terminal_leaf = action < 0
+    is_term = action < 0
     new_idx = tree.count
+    safe_action = jnp.maximum(action, 0)
+    grow = jnp.where(is_term, 0, 1).astype(jnp.int32)
 
-    def attach(tree):
-        t = tree._replace(
-            prior=tree.prior.at[new_idx].set(child_prior),
-            legal=tree.legal.at[new_idx].set(child_legal),
-            expanded=tree.expanded.at[new_idx].set(True),
-            parent=tree.parent.at[new_idx].set(leaf),
-            action_from_parent=tree.action_from_parent.at[new_idx].set(action),
-            children=tree.children.at[leaf, jnp.maximum(action, 0)].set(
-                new_idx.astype(jnp.int32)),
-            state=_set_index(tree.state, new_idx, child_state),
-            count=tree.count + 1,
-        )
-        return backup(t, new_idx, child_value, max_depth)
+    old_child = tree.children[leaf, safe_action]
+    new_child = jnp.where(is_term, old_child, new_idx.astype(jnp.int32))
 
-    def terminal(tree):
-        value = env.terminal_value(
-            jax.tree_util.tree_map(lambda x: x[leaf], tree.state),
-            tree.state.to_move[leaf])
-        return backup(tree, leaf, value, max_depth)
+    t = tree._replace(
+        prior=tree.prior.at[new_idx].set(child_prior),
+        legal=tree.legal.at[new_idx].set(child_legal),
+        expanded=tree.expanded.at[new_idx].set(~is_term),
+        parent=tree.parent.at[new_idx].set(jnp.where(is_term, NO_PARENT,
+                                                     leaf)),
+        action_from_parent=tree.action_from_parent.at[new_idx].set(action),
+        children=tree.children.at[leaf, safe_action].set(new_child),
+        state=_set_index(tree.state, new_idx, child_state),
+        count=tree.count + grow,
+    )
 
-    return jax.lax.cond(is_terminal_leaf, terminal, attach, tree)
+    term_value = env.terminal_value(
+        jax.tree_util.tree_map(lambda x: x[leaf], tree.state),
+        tree.state.to_move[leaf])
+    start = jnp.where(is_term, leaf, new_idx)
+    value = jnp.where(is_term, term_value, child_value)
+    return backup(t, start, value, max_depth)
 
 
 def root_visit_counts(tree: Tree) -> jax.Array:
