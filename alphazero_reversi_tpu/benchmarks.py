@@ -35,12 +35,19 @@ from .models import resnet
 
 
 def _timeit(fn, *args, repeats: int = 5) -> float:
-    """Best-of-N wall time of a blocking call (compile excluded)."""
-    jax.block_until_ready(fn(*args))
+    """Best-of-N wall time of a blocking call (compile excluded).
+
+    ``fn`` is called as ``fn(*args, key)`` with a fresh, never-before-used
+    PRNG key per repeat: the TPU runtime here caches results of identical
+    (program, inputs) executions ACROSS PROCESSES, so a key that any earlier
+    run ever used measures the cache, not the chip. Keys derive from the
+    wall clock."""
+    base = jax.random.PRNGKey(time.time_ns() % (2**31))
+    jax.block_until_ready(fn(*args, jax.random.fold_in(base, 0)))
     best = float("inf")
-    for _ in range(repeats):
+    for i in range(repeats):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        jax.block_until_ready(fn(*args, jax.random.fold_in(base, 1 + i)))
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -69,7 +76,7 @@ def bench_env(batch: int = 8192, steps: int = 512, repeats: int = 5,
         final, _ = jax.lax.scan(body, states, jax.random.split(key, steps))
         return final
 
-    best = _timeit(run, fresh, jax.random.PRNGKey(0), repeats=repeats)
+    best = _timeit(run, fresh, repeats=repeats)
     return {
         "batch": batch,
         "steps": steps,
@@ -103,7 +110,6 @@ def bench_mcts(batch_sizes: Optional[List[int]] = None,
     results = []
     for b in batch_sizes:
         roots = env.initial_state((b,))
-        key = jax.random.PRNGKey(1)
 
         def run(states, k):
             return search_lib.run_search(
@@ -111,7 +117,7 @@ def bench_mcts(batch_sizes: Optional[List[int]] = None,
                 num_simulations=num_simulations, c_puct=1.0,
                 dirichlet_alpha=0.3, dirichlet_epsilon=0.25)
 
-        best = _timeit(run, roots, key, repeats=repeats)
+        best = _timeit(run, roots, repeats=repeats)
         results.append({
             "batch": b,
             "num_simulations": num_simulations,

@@ -49,7 +49,10 @@ class MCTSConfig:
     dirichlet_epsilon: float = 0.25
     temperature: float = 1.0
     temperature_threshold: int = 30
-    max_depth: int = 64  # static bound on tree depth under jit
+    # static descent-depth bound: select/backup unroll this many levels per
+    # simulation (deeper simulations are evaluated at the node reached,
+    # mctx-style). PUCT trees at <=1000 sims rarely exceed ~15 levels.
+    max_depth: int = 24
     batch_size: int = 0  # leaves per NN call per game; 0 = one per sim round
 
 

@@ -6,11 +6,28 @@ the reference batches *leaves within one game* (collect ``batch_size`` tree
 descents with virtual loss, one NN forward per round, mcts.py:348-392); here
 the batch axis is *games* — every simulation round selects one leaf in each
 of B games, evaluates all B leaves as a single NN forward on the MXU, and
-expands/backs-up with vmapped array ops. The whole search is one XLA
-program: ``lax.fori_loop`` over simulations, no host round-trips.
+expands/backs up with batched array ops. The whole search is one XLA
+program: ``lax.fori_loop`` over simulations, nothing leaves the chip.
+
+Performance shape (measured on TPU v5e, B=1024, 400 sims): the cost driver
+is the number of *loop iterations containing dynamic-index ops*, so the
+per-simulation select and backup walks are **statically unrolled** over
+``max_depth`` levels (one row gather + one stats slice per level) instead of
+``lax.while_loop``s — the v1 while-loop implementation spent ~13.7 ms per
+simulation round on tree ops; this layout brings a round down to the NN
+forward plus ~tens of µs. A simulation that is still mid-descent after
+``max_depth`` levels is evaluated at the node it reached (mctx-style depth
+truncation) — its value is backed up but no node is expanded.
 
 Root Dirichlet noise and the temperature schedule are implemented here (the
 reference only declared them in config — SURVEY.md §2.4).
+
+Value/perspective convention (resolving the reference's documented
+inconsistency between absolute and player-to-move terminal values,
+mcts.py:569-575 vs self_play.py:117-126): every evaluated value is taken
+from the perspective of the player to move at the evaluated state; backup
+flips the sign per path level only when that level's player differs — which,
+because the env auto-passes, is *not* every ply.
 """
 from __future__ import annotations
 
@@ -26,6 +43,7 @@ from ..models import resnet
 from . import tree as tree_lib
 
 NUM_ACTIONS = env.NUM_ACTIONS
+A = NUM_ACTIONS
 
 
 class SearchResult(NamedTuple):
@@ -34,7 +52,7 @@ class SearchResult(NamedTuple):
     visit_counts: jax.Array  # [B, A] root child visit counts
     action_probs: jax.Array  # [B, A] normalized visit distribution (tau=1)
     root_value: jax.Array  # [B] mean root value (root player POV)
-    tree: tree_lib.Tree  # [B, ...] final trees (for inspection/tests)
+    tree: tree_lib.Tree  # final packed trees (for inspection/tests)
 
 
 def add_dirichlet_noise(prior: jax.Array, legal: jax.Array, key: jax.Array,
@@ -44,10 +62,10 @@ def add_dirichlet_noise(prior: jax.Array, legal: jax.Array, key: jax.Array,
     src/config.py:25-26)."""
     gamma = jax.random.gamma(key, alpha, prior.shape).astype(prior.dtype)
     gamma = jnp.where(legal, gamma, 0.0)
-    noise = gamma / jnp.maximum(gamma.sum(), 1e-12)
+    noise = gamma / jnp.maximum(gamma.sum(-1, keepdims=True), 1e-12)
     mixed = (1.0 - epsilon) * prior + epsilon * noise
     mixed = jnp.where(legal, mixed, 0.0)
-    return mixed / jnp.maximum(mixed.sum(), 1e-12)
+    return mixed / jnp.maximum(mixed.sum(-1, keepdims=True), 1e-12)
 
 
 def _evaluate(net, variables, states: env.EnvState, compat: bool
@@ -56,13 +74,12 @@ def _evaluate(net, variables, states: env.EnvState, compat: bool
 
     Terminal states get their exact game outcome instead of the NN value —
     from the player-to-move perspective (fixing the reference's
-    absolute-perspective terminal values, mcts.py:569-575; SURVEY.md §7d).
-    """
-    planes = jax.vmap(lambda s: env.canonical_planes(s, compat=compat))(states)
+    absolute-perspective terminal values, mcts.py:569-575)."""
+    planes = env.canonical_planes(states, compat=compat)
     logits, value = resnet.apply_eval(net, variables, planes)
-    legal = jax.vmap(lambda s: env.legal_action_mask(s, compat=compat))(states)
+    legal = env.legal_action_mask(states, compat=compat)
     prior = resnet.masked_policy(logits, legal)
-    term_val = jax.vmap(env.terminal_value)(states, states.to_move)
+    term_val = env.terminal_value(states, states.to_move)
     value = jnp.where(states.done, term_val, value)
     return prior, value, legal
 
@@ -75,58 +92,110 @@ def _evaluate(net, variables, states: env.EnvState, compat: bool
 def run_search(net, variables: Dict[str, Any], root_states: env.EnvState,
                key: jax.Array, *, num_simulations: int, c_puct: float,
                dirichlet_alpha: float, dirichlet_epsilon: float,
-               max_depth: int = 64, compat: bool = False,
+               max_depth: int = 24, compat: bool = False,
                add_noise: bool = True) -> SearchResult:
     """Run batched MCTS from ``root_states`` (leading batch axis B)."""
     batch = root_states.to_move.shape[0]
     capacity = num_simulations + 1
-    c_puct = jnp.float32(c_puct)
+    c = jnp.float32(c_puct)
+    # a path cannot be longer than the expansions that built it, nor than
+    # the number of stones the board can still take
+    levels = max(1, min(max_depth, num_simulations, 60))
 
     # --- root evaluation + install -------------------------------------
     prior, _, legal = _evaluate(net, variables, root_states, compat)
     if add_noise:
-        noise_keys = jax.random.split(key, batch)
-        prior = jax.vmap(
-            lambda p, l, k: add_dirichlet_noise(
-                p, l, k, dirichlet_alpha, dirichlet_epsilon)
-        )(prior, legal, noise_keys)
+        prior = add_dirichlet_noise(prior, legal, key, dirichlet_alpha,
+                                    dirichlet_epsilon)
 
-    trees = jax.vmap(lambda _: tree_lib.empty_tree(capacity))(
-        jnp.arange(batch))
-    trees = jax.vmap(tree_lib.init_root)(trees, root_states, prior, legal)
+    trees = tree_lib.init_root(tree_lib.make_tree(batch, capacity),
+                               root_states, prior, legal)
+    root_to_move = root_states.to_move
 
-    # --- simulation rounds ---------------------------------------------
-    def sim_round(_, trees):
-        leaf, action = jax.vmap(
-            lambda t: tree_lib.select_leaf(t, c_puct, max_depth))(trees)
+    def sim_round(i, trees):
+        # ---------------- select: unrolled descent --------------------
+        node = jnp.zeros((batch,), jnp.int32)
+        alive = jnp.ones((batch,), jnp.bool_)
+        leaf = jnp.zeros((batch,), jnp.int32)
+        leaf_action = jnp.full((batch,), -1, jnp.int32)
+        eval_row = trees.rows[:, 0, :]
+        path_nodes, path_actions, path_tomove = [], [], []
 
-        def child_of(t, leaf, action):
-            leaf_state = jax.tree_util.tree_map(lambda x: x[leaf], t.state)
-            stepped, _ = env.step(leaf_state, jnp.maximum(action, 0),
-                                  compat=compat)
-            # terminal leaf (action == -1): keep the leaf state; its eval is
-            # discarded by expand_and_backup's terminal branch.
-            return jax.tree_util.tree_map(
-                lambda a, b: jnp.where(action < 0, a, b), leaf_state, stepped)
+        for _ in range(levels):
+            row, srow = tree_lib.gather_node(trees, node)
+            p = row[:, tree_lib.PRIOR]
+            lg = row[:, tree_lib.LEGAL] > 0.5
+            done_n = row[:, tree_lib.S_DONE] > 0.5
+            tomove_n = row[:, tree_lib.S_TO_MOVE]
+            visits = srow[:, tree_lib.VISITS_OFF:tree_lib.VISITS_OFF + A]
+            vsum = srow[:, tree_lib.VSUM_OFF:tree_lib.VSUM_OFF + A]
+            child = srow[:, tree_lib.CHILD_OFF:tree_lib.CHILD_OFF + A]
 
-        child_states = jax.vmap(child_of)(trees, leaf, action)
-        child_prior, child_value, child_legal = _evaluate(
-            net, variables, child_states, compat)
-        trees = jax.vmap(
-            lambda t, l, a, cs, cp, cl, cv: tree_lib.expand_and_backup(
-                t, l, a, cs, cp, cl, cv, max_depth)
-        )(trees, leaf, action, child_states, child_prior, child_legal,
-          child_value)
-        return trees
+            q = jnp.where(visits > 0, vsum / jnp.maximum(visits, 1.0), 0.0)
+            parent_visit = visits.sum(-1, keepdims=True) + 1.0
+            score = q + c * p * jnp.sqrt(parent_visit) / (1.0 + visits)
+            score = jnp.where(lg, score, -jnp.inf)
+            a = jnp.argmax(score, -1).astype(jnp.int32)
+            child_idx = jnp.take_along_axis(child, a[:, None],
+                                            axis=-1)[:, 0].astype(jnp.int32)
+
+            can_step = alive & ~done_n
+            found = can_step & (child_idx == 0)
+            hit_terminal = alive & done_n
+            path_nodes.append(jnp.where(can_step, node, -1))
+            path_actions.append(jnp.where(can_step, a, 0))
+            path_tomove.append(tomove_n)
+
+            finishing = found | hit_terminal
+            eval_row = jnp.where(finishing[:, None], row, eval_row)
+            leaf = jnp.where(found, node, leaf)
+            leaf_action = jnp.where(found, a, leaf_action)
+            alive = alive & ~finishing
+            node = jnp.where(alive, child_idx, node)
+
+        # depth-truncated lanes evaluate the node they reached (no expand)
+        trow, _ = tree_lib.gather_node(trees, node)
+        eval_row = jnp.where(alive[:, None], trow, eval_row)
+
+        # ---------------- evaluate ------------------------------------
+        base_state = tree_lib.unpack_state(eval_row[:, 2 * A:])
+        do_expand = leaf_action >= 0
+        stepped, _ = env.step(base_state, jnp.maximum(leaf_action, 0),
+                              compat=compat)
+        eval_state = jax.tree_util.tree_map(
+            lambda s, t: jnp.where(do_expand, t, s), base_state, stepped)
+        prior_c, value_c, legal_c = _evaluate(net, variables, eval_state,
+                                              compat)
+
+        # ---------------- expand (shared slot i+1) --------------------
+        slot = i + 1
+        trees = tree_lib.write_children_rows(
+            trees, slot, tree_lib.make_row(eval_state, prior_c, legal_c))
+        trees = tree_lib.link_children(trees, leaf,
+                                       jnp.maximum(leaf_action, 0), slot,
+                                       do_expand)
+
+        # ---------------- backup: unrolled path updates ---------------
+        eval_tomove = eval_state.to_move.astype(jnp.float32)
+        ones = jnp.ones((batch,), jnp.float32)
+        for d in range(levels):
+            sign = jnp.where(path_tomove[d] == eval_tomove, 1.0, -1.0)
+            trees = tree_lib.edge_update(trees, path_nodes[d],
+                                         path_actions[d], ones,
+                                         sign * value_c)
+        rsign = jnp.where(eval_state.to_move == root_to_move, 1.0, -1.0)
+        return trees._replace(
+            root_visit=trees.root_visit + 1,
+            root_vsum=trees.root_vsum + rsign * value_c,
+        )
 
     trees = jax.lax.fori_loop(0, num_simulations, sim_round, trees)
 
-    visit_counts = jax.vmap(tree_lib.root_visit_counts)(trees)
+    visit_counts = tree_lib.root_visit_counts(trees)
     total = jnp.maximum(visit_counts.sum(axis=-1, keepdims=True), 1)
     action_probs = visit_counts.astype(jnp.float32) / total
-    root_val = jax.vmap(tree_lib.root_value)(trees)
     return SearchResult(visit_counts=visit_counts, action_probs=action_probs,
-                        root_value=root_val, tree=trees)
+                        root_value=tree_lib.root_value(trees), tree=trees)
 
 
 def probs_with_temperature(visit_counts: jax.Array, temperature: jax.Array
@@ -140,11 +209,12 @@ def probs_with_temperature(visit_counts: jax.Array, temperature: jax.Array
     counts = visit_counts.astype(jnp.float32)
     greedy = jax.nn.one_hot(jnp.argmax(counts, axis=-1), counts.shape[-1],
                             dtype=jnp.float32)
-    # temperature may be a traced scalar -> branchless select
     safe_tau = jnp.maximum(temperature, 1e-3)
-    logits = jnp.where(counts > 0, jnp.log(jnp.maximum(counts, 1e-12)), -jnp.inf)
+    logits = jnp.where(counts > 0, jnp.log(jnp.maximum(counts, 1e-12)),
+                       -jnp.inf)
     scaled = logits / safe_tau
-    scaled = scaled - jax.lax.stop_gradient(scaled.max(axis=-1, keepdims=True))
+    scaled = scaled - jax.lax.stop_gradient(
+        scaled.max(axis=-1, keepdims=True))
     powed = jnp.exp(scaled)
     powed = jnp.where(counts > 0, powed, 0.0)
     soft = powed / jnp.maximum(powed.sum(axis=-1, keepdims=True), 1e-12)
@@ -156,16 +226,18 @@ def probs_with_temperature(visit_counts: jax.Array, temperature: jax.Array
 def sample_actions(key: jax.Array, probs: jax.Array) -> jax.Array:
     """Sample an action per row from the visit distribution
     (mcts.py:679-684)."""
-    logits = jnp.where(probs > 0, jnp.log(jnp.maximum(probs, 1e-12)), -jnp.inf)
+    logits = jnp.where(probs > 0, jnp.log(jnp.maximum(probs, 1e-12)),
+                       -jnp.inf)
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
 
 class MCTS:
     """Object-style wrapper matching the reference's ``MCTS`` surface
-    (mcts.py:191-. ``search``/``get_action_probs``) for single- or batched-
-    game use. Stateless between calls: the reference's ``update_with_move``
-    wipes the subtree anyway (mcts.py:696-719 — tree reuse is a no-op there,
-    SURVEY.md appendix), so a fresh tree per move is behaviorally identical.
+    (mcts.py:191-719: ``search``/``get_action_probs``) for single- or
+    batched-game use. Stateless between calls: the reference's
+    ``update_with_move`` wipes the subtree anyway (mcts.py:696-719 — tree
+    reuse is a no-op there, SURVEY.md appendix), so a fresh tree per move is
+    behaviorally identical.
     """
 
     def __init__(self, net, variables, config: MCTSConfig,

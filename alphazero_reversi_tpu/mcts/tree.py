@@ -1,19 +1,32 @@
-"""Fixed-shape array tree for batched MCTS on TPU.
+"""Packed array tree for batched MCTS on TPU.
 
 Replaces the reference's Python pointer tree (``MCTSNode``,
-/root/reference/src/mcts/mcts.py:33-188) with preallocated arrays of node
-statistics — the mctx-style structure that XLA can compile: no dynamic
-allocation, no Python objects, every op an indexed array update. One tree of
-capacity ``N = num_simulations + 1`` per game; every function in this module
-operates on a *single* game's tree and is ``vmap``-ed over the game batch by
-the search driver (``search.py``).
+/root/reference/src/mcts/mcts.py:33-188). Second-generation layout, designed
+from measured TPU/XLA cost behavior on this hardware (see git history for the
+first, mctx-style struct-of-arrays version):
 
-Value/perspective convention (this resolves the reference's documented
-inconsistency between absolute and player-to-move values, mcts.py:569-575 vs
-self_play.py:117-126 — SURVEY.md §7 hard part (d)): ``value_sum[i]`` always
-accumulates values **from the perspective of the player to move at node i**.
-PUCT and backup flip signs only when the child/ancestor's player-to-move
-differs — which, because the env auto-passes, is *not* every ply.
+* **One packed row per node** (``rows[B, N, K]`` float32): prior over the 65
+  actions, legal mask, and the node's env state with its ``uint32`` bitboard
+  words bit-cast into float lanes. One tree-descent level then needs a
+  single dynamic row gather instead of ~8 separate gathers across parallel
+  arrays — measured, the number of *dynamic-index ops per loop iteration*
+  (not bytes moved) is what dominates this workload on TPU.
+* **Edge statistics at the parent** (``stats[B, N*3A]`` flat float32: per
+  node ``visits[A] | value_sum[A] | child_index[A]``). PUCT reads them with
+  one dynamic slice; the child lookup needs no second indirection (the
+  mctx-style ``visits[children[node]]`` double gather measured ~0.8 ms per
+  level at B=1024 — the single most expensive op in the v1 tree).
+* **Static slot allocation**: simulation ``i`` always writes node slot
+  ``i+1``, for every game in the batch — a shared-index
+  ``dynamic_update_slice`` instead of per-game scatters. Slots of
+  simulations that ended on a terminal or depth-truncated node are simply
+  never linked (no ``count`` bookkeeping under ``jit``).
+
+Value convention: ``value_sum[n, a]`` accumulates backed-up values **from
+the perspective of the player to move at node n**, so PUCT needs no sign
+correction at selection time; the backup applies the sign per path level
+(player-change aware, which handles auto-pass chains — see
+``search.run_search``).
 """
 from __future__ import annotations
 
@@ -24,194 +37,168 @@ import jax.numpy as jnp
 
 from ..env import bitboard as env
 from ..env.bitboard import EnvState
+from ..ops.u64 import U64
 
 NUM_ACTIONS = env.NUM_ACTIONS
-NO_PARENT = jnp.int32(-1)
-UNVISITED = jnp.int32(-1)
+A = NUM_ACTIONS
+
+# rows column layout
+PRIOR = slice(0, A)
+LEGAL = slice(A, 2 * A)
+S_BLACK_HI = 2 * A
+S_BLACK_LO = 2 * A + 1
+S_WHITE_HI = 2 * A + 2
+S_WHITE_LO = 2 * A + 3
+S_TO_MOVE = 2 * A + 4
+S_PASSED = 2 * A + 5
+S_DONE = 2 * A + 6
+S_WINNER = 2 * A + 7
+K = 2 * A + 8  # row width
+
+# stats per-node layout (flat stride 3A)
+STRIDE = 3 * A
+VISITS_OFF = 0
+VSUM_OFF = A
+CHILD_OFF = 2 * A
 
 
 class Tree(NamedTuple):
-    """Per-game search tree of capacity N (leading axis of every field)."""
+    """Batched packed search tree. ``B`` games, ``N`` node slots."""
 
-    visit: jax.Array  # [N] i32 — visit count per node
-    value_sum: jax.Array  # [N] f32 — sum of backed-up values (node-to-move POV)
-    prior: jax.Array  # [N, A] f32 — children priors P(a|s)
-    children: jax.Array  # [N, A] i32 — child node index or UNVISITED
-    parent: jax.Array  # [N] i32 — parent node index, NO_PARENT for root
-    action_from_parent: jax.Array  # [N] i32
-    legal: jax.Array  # [N, A] bool — legal action mask at the node
-    expanded: jax.Array  # [N] bool — node has been evaluated (prior valid)
-    state: EnvState  # env state per node, leaves shaped [N, ...]
-    count: jax.Array  # scalar i32 — nodes in use
+    rows: jax.Array  # [B, N, K] f32 — static per-node data (written once)
+    stats: jax.Array  # [B, N*3A] f32 — edge visits / value sums / child idx
+    root_visit: jax.Array  # [B] i32 — simulations backed up to the root
+    root_vsum: jax.Array  # [B] f32 — value sum at the root (root POV)
+
+    @property
+    def capacity(self) -> int:
+        return self.rows.shape[1]
 
 
-def empty_tree(capacity: int) -> Tree:
-    zero_state = jax.tree_util.tree_map(
-        lambda x: jnp.zeros((capacity,) + x.shape, x.dtype),
-        env.initial_state(),
-    )
+def make_tree(batch: int, capacity: int) -> Tree:
     return Tree(
-        visit=jnp.zeros(capacity, jnp.int32),
-        value_sum=jnp.zeros(capacity, jnp.float32),
-        prior=jnp.zeros((capacity, NUM_ACTIONS), jnp.float32),
-        children=jnp.full((capacity, NUM_ACTIONS), UNVISITED, jnp.int32),
-        parent=jnp.full(capacity, NO_PARENT, jnp.int32),
-        action_from_parent=jnp.full(capacity, -1, jnp.int32),
-        legal=jnp.zeros((capacity, NUM_ACTIONS), jnp.bool_),
-        expanded=jnp.zeros(capacity, jnp.bool_),
-        state=zero_state,
-        count=jnp.int32(0),
+        rows=jnp.zeros((batch, capacity, K), jnp.float32),
+        stats=jnp.zeros((batch, capacity * STRIDE), jnp.float32),
+        root_visit=jnp.zeros((batch,), jnp.int32),
+        root_vsum=jnp.zeros((batch,), jnp.float32),
     )
 
 
-def _set_index(tree_arrays, idx, values):
-    return jax.tree_util.tree_map(
-        lambda arr, v: arr.at[idx].set(v), tree_arrays, values)
+def _f(x) -> jax.Array:
+    return x.astype(jnp.float32)
+
+
+def pack_state(state: EnvState) -> jax.Array:
+    """EnvState[B] -> [B, 8] f32 row segment (bitboards bit-cast)."""
+    bc = lambda w: jax.lax.bitcast_convert_type(w, jnp.float32)
+    return jnp.stack([
+        bc(state.black.hi), bc(state.black.lo),
+        bc(state.white.hi), bc(state.white.lo),
+        _f(state.to_move), _f(state.passed), _f(state.done),
+        _f(state.winner),
+    ], axis=-1)
+
+
+def unpack_state(cols: jax.Array) -> EnvState:
+    """[..., 8] f32 row segment -> EnvState with [...]-shaped leaves."""
+    bc = lambda w: jax.lax.bitcast_convert_type(w, jnp.uint32)
+    return EnvState(
+        black=U64(hi=bc(cols[..., 0]), lo=bc(cols[..., 1])),
+        white=U64(hi=bc(cols[..., 2]), lo=bc(cols[..., 3])),
+        to_move=cols[..., 4].astype(jnp.int32),
+        passed=cols[..., 5].astype(jnp.int32),
+        done=cols[..., 6] > 0.5,
+        winner=cols[..., 7].astype(jnp.int32),
+    )
+
+
+def make_row(state: EnvState, prior: jax.Array, legal: jax.Array
+             ) -> jax.Array:
+    """Build packed rows [B, K] for newly evaluated nodes."""
+    return jnp.concatenate(
+        [prior, _f(legal), pack_state(state)], axis=-1)
 
 
 def init_root(tree: Tree, root_state: EnvState, prior: jax.Array,
               legal: jax.Array) -> Tree:
-    """Install the root (node 0) with its evaluated prior."""
+    """Install the root at slot 0 (static index — no scatter)."""
     return tree._replace(
-        prior=tree.prior.at[0].set(prior),
-        legal=tree.legal.at[0].set(legal),
-        expanded=tree.expanded.at[0].set(True),
-        state=_set_index(tree.state, 0, root_state),
-        parent=tree.parent.at[0].set(NO_PARENT),
-        count=jnp.int32(1),
-    )
+        rows=tree.rows.at[:, 0, :].set(make_row(root_state, prior, legal)))
 
 
-def puct_scores(tree: Tree, node: jax.Array, c_puct: jax.Array) -> jax.Array:
-    """PUCT score per action at ``node`` (reference formula mcts.py:102-113:
-    ``Q + c_puct * P * sqrt(parent_visits) / (1 + child_visits)``), with
-    illegal actions at -inf and Q sign-corrected to the node's perspective."""
-    child = tree.children[node]  # [A]
-    has_child = child != UNVISITED
-    safe_child = jnp.maximum(child, 0)
-    child_visit = jnp.where(has_child, tree.visit[safe_child], 0)
-    child_sum = jnp.where(has_child, tree.value_sum[safe_child], 0.0)
-    child_q = jnp.where(child_visit > 0, child_sum / jnp.maximum(child_visit, 1), 0.0)
-    same_player = tree.state.to_move[safe_child] == tree.state.to_move[node]
-    q = jnp.where(has_child & same_player, child_q, -child_q)
-    q = jnp.where(has_child, q, 0.0)  # FPU: unvisited children Q = 0
-    sqrt_parent = jnp.sqrt(jnp.maximum(tree.visit[node], 1).astype(jnp.float32))
-    u = c_puct * tree.prior[node] * sqrt_parent / (1.0 + child_visit)
-    score = q + u
-    return jnp.where(tree.legal[node], score, -jnp.inf)
+def write_children_rows(tree: Tree, slot: jax.Array, new_rows: jax.Array
+                        ) -> Tree:
+    """Write every game's new node at the shared ``slot`` (one DUS)."""
+    return tree._replace(rows=jax.lax.dynamic_update_slice(
+        tree.rows, new_rows[:, None, :], (0, slot, 0)))
 
 
-def select_leaf(tree: Tree, c_puct: jax.Array, max_depth: int
+def link_children(tree: Tree, node: jax.Array, action: jax.Array,
+                  slot: jax.Array, do_link: jax.Array) -> Tree:
+    """Set ``child_index[node, action] = slot`` where ``do_link``
+    (others scattered out of bounds and dropped)."""
+    m = tree.stats.shape[1]
+    idx = jnp.where(do_link, node * STRIDE + CHILD_OFF + action, m)
+    stats = jax.vmap(
+        lambda s, i, v: s.at[i].set(v, mode="drop")
+    )(tree.stats, idx, jnp.broadcast_to(_f(slot), node.shape))
+    return tree._replace(stats=stats)
+
+
+def edge_update(tree: Tree, node: jax.Array, action: jax.Array,
+                visit_inc: jax.Array, value_inc: jax.Array) -> Tree:
+    """One backup level: ``visits[node, action] += visit_inc``,
+    ``value_sum[node, action] += value_inc``. ``node < 0`` rows dropped."""
+    m = tree.stats.shape[1]
+    ok = node >= 0
+    safe = jnp.maximum(node, 0)
+    i1 = jnp.where(ok, safe * STRIDE + VISITS_OFF + action, m)
+    i2 = jnp.where(ok, safe * STRIDE + VSUM_OFF + action, m)
+    stats = jax.vmap(
+        lambda s, j1, j2, vi, vv: s.at[j1].add(vi, mode="drop")
+                                   .at[j2].add(vv, mode="drop")
+    )(tree.stats, i1, i2, visit_inc, value_inc)
+    return tree._replace(stats=stats)
+
+
+def gather_node(tree: Tree, node: jax.Array
                 ) -> Tuple[jax.Array, jax.Array]:
-    """Descend from the root by PUCT until an unexpanded edge or terminal.
+    """Per-game node fetch -> (row [B, K], stats row [B, 3A]).
 
-    Returns ``(node, action)``; ``action == -1`` means the node itself is a
-    terminal leaf (its stored value is backed up without expansion).
-    Replaces ``MCTS._traverse`` (mcts.py:409-444) — but as a bounded
-    ``lax.while_loop`` instead of Python recursion over dict children.
-    """
-
-    def cond(carry):
-        _, _, depth, finished = carry
-        return (~finished) & (depth < max_depth)
-
-    def body(carry):
-        node, _, depth, _ = carry
-        terminal = tree.state.done[node]
-        scores = puct_scores(tree, node, c_puct)
-        action = jnp.argmax(scores).astype(jnp.int32)
-        child = tree.children[node, action]
-        at_leaf_edge = child == UNVISITED
-        finished = terminal | at_leaf_edge
-        out_action = jnp.where(terminal, jnp.int32(-1), action)
-        next_node = jnp.where(finished, node, child)
-        return next_node, out_action, depth + 1, finished
-
-    node, action, _, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), jnp.int32(-1), jnp.int32(0), jnp.bool_(False)))
-    return node, action
+    Both reads are batched row *gathers*. Do NOT use a vmapped
+    ``dynamic_slice`` here: XLA:TPU lowers that to a serial while loop over
+    the batch (measured: 16 such loops made a simulation round ~30 ms at
+    B=1024; as gathers the whole select phase is ~0.4 ms)."""
+    row = jax.vmap(lambda r, n: r[n])(tree.rows, node)
+    stats3 = tree.stats.reshape(tree.stats.shape[0], -1, STRIDE)
+    srow = jax.vmap(lambda s, n: s[n])(stats3, node)
+    return row, srow
 
 
-def backup(tree: Tree, leaf: jax.Array, value: jax.Array, max_depth: int
-           ) -> Tree:
-    """Propagate ``value`` (leaf's player-to-move POV) up to the root.
-
-    Replaces ``MCTS._backpropagate_path`` (mcts.py:625-640); the sign flips
-    per *player change*, not per ply, which handles auto-pass chains.
-    """
-    leaf_player = tree.state.to_move[leaf]
-
-    def cond(carry):
-        node, _, depth = carry
-        return (node != NO_PARENT) & (depth < max_depth + 1)
-
-    def body(carry):
-        node, (visit, value_sum), depth = carry
-        sign = jnp.where(tree.state.to_move[node] == leaf_player, 1.0, -1.0)
-        visit = visit.at[node].add(1)
-        value_sum = value_sum.at[node].add(sign * value)
-        return tree.parent[node], (visit, value_sum), depth + 1
-
-    _, (visit, value_sum), _ = jax.lax.while_loop(
-        cond, body, (leaf, (tree.visit, tree.value_sum), jnp.int32(0)))
-    return tree._replace(visit=visit, value_sum=value_sum)
-
-
-def expand_and_backup(tree: Tree, leaf: jax.Array, action: jax.Array,
-                      child_state: EnvState, child_prior: jax.Array,
-                      child_legal: jax.Array, child_value: jax.Array,
-                      max_depth: int) -> Tree:
-    """Attach the evaluated child (if the leaf edge is expandable) and back
-    its value up. For a terminal leaf (``action == -1``) no node is created;
-    the leaf's terminal value is backed up instead.
-
-    ``child_value`` must already be the terminal outcome when
-    ``child_state.done`` (the search driver substitutes it), from the
-    perspective of ``child_state.to_move``.
-
-    Branch-free on purpose: under ``vmap`` a ``lax.cond`` here would lower
-    to a select that materializes TWO complete tree copies ([B, N, A]
-    arrays) per simulation — measured ~20ms/round at B=1024, cap 401 on a
-    v5e, two orders of magnitude over these row-sized scatters. For a
-    terminal leaf the child row is still written at ``new_idx`` but
-    ``count`` is not advanced, so the slot stays free and is overwritten by
-    the next real expansion.
-    """
-    is_term = action < 0
-    new_idx = tree.count
-    safe_action = jnp.maximum(action, 0)
-    grow = jnp.where(is_term, 0, 1).astype(jnp.int32)
-
-    old_child = tree.children[leaf, safe_action]
-    new_child = jnp.where(is_term, old_child, new_idx.astype(jnp.int32))
-
-    t = tree._replace(
-        prior=tree.prior.at[new_idx].set(child_prior),
-        legal=tree.legal.at[new_idx].set(child_legal),
-        expanded=tree.expanded.at[new_idx].set(~is_term),
-        parent=tree.parent.at[new_idx].set(jnp.where(is_term, NO_PARENT,
-                                                     leaf)),
-        action_from_parent=tree.action_from_parent.at[new_idx].set(action),
-        children=tree.children.at[leaf, safe_action].set(new_child),
-        state=_set_index(tree.state, new_idx, child_state),
-        count=tree.count + grow,
-    )
-
-    term_value = env.terminal_value(
-        jax.tree_util.tree_map(lambda x: x[leaf], tree.state),
-        tree.state.to_move[leaf])
-    start = jnp.where(is_term, leaf, new_idx)
-    value = jnp.where(is_term, term_value, child_value)
-    return backup(t, start, value, max_depth)
-
+# -- read-side helpers (results, tests, debugging) -------------------------
 
 def root_visit_counts(tree: Tree) -> jax.Array:
-    """[A] visit counts of the root's children (0 where unexpanded)."""
-    child = tree.children[0]
-    has_child = child != UNVISITED
-    return jnp.where(has_child, tree.visit[jnp.maximum(child, 0)], 0)
+    """[B, A] root child visit counts (static slice of node 0)."""
+    return tree.stats[:, VISITS_OFF:VISITS_OFF + A].astype(jnp.int32)
 
 
 def root_value(tree: Tree) -> jax.Array:
-    """Mean search value at the root (root player's POV)."""
-    return tree.value_sum[0] / jnp.maximum(tree.visit[0], 1)
+    """[B] mean root value (root player's POV)."""
+    return tree.root_vsum / jnp.maximum(tree.root_visit, 1)
+
+
+def children_index(tree: Tree) -> jax.Array:
+    """[B, N, A] int child slot per edge (0 = no child)."""
+    n = tree.capacity
+    return tree.stats.reshape(tree.stats.shape[0], n, STRIDE)[
+        :, :, CHILD_OFF:CHILD_OFF + A].astype(jnp.int32)
+
+
+def node_states(tree: Tree) -> EnvState:
+    """EnvState with [B, N]-shaped leaves, unpacked from the rows."""
+    return unpack_state(tree.rows[:, :, 2 * A:])
+
+
+def num_linked_nodes(tree: Tree) -> jax.Array:
+    """[B] count of nodes reachable via child links, plus the root."""
+    return (children_index(tree) > 0).sum(axis=(1, 2)) + 1

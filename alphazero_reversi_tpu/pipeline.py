@@ -146,11 +146,18 @@ class AlphaZeroPipeline:
     # -- phases -------------------------------------------------------------
     def _generate_self_play_data(self) -> int:
         """Self-play + replay insert; returns number of new positions
-        (pipeline.py:152-270 analog)."""
+        (pipeline.py:152-270 analog). Trajectories are persisted to
+        ``self_play.save_dir`` every ``save_every`` iterations (the batch
+        analog of the reference's per-game torch.save, self_play.py:129)."""
         self.selfplay.variables = self.learner.variables
         self.key, sp_key = jax.random.split(self.key)
-        planes, policy, value, valid = self.selfplay.generate_training_data(
+        traj = self.selfplay.generate_games(
             sp_key, self.config.self_play.num_parallel_games)
+        sp_cfg = self.config.self_play
+        if sp_cfg.save_every > 0 and self.iteration % sp_cfg.save_every == 0:
+            selfplay_lib.save_trajectory(traj, sp_cfg.save_dir,
+                                         f"it{self.iteration:06d}")
+        planes, policy, value, valid = selfplay_lib.flatten_trajectory(traj)
         if self.config.training.train_on_latest_only:
             self.buffer = replay_lib.reset(self.buffer)
         self.buffer = replay_lib.add(self.buffer, planes, policy, value,

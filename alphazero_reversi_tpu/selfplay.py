@@ -37,10 +37,12 @@ move slots (one per empty square) always reach the terminal state.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, NamedTuple, Tuple
+import os
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .config import Config, MCTSConfig, SelfPlayConfig
 from .env import bitboard as env
@@ -197,3 +199,37 @@ class SelfPlay:
         """(planes, policy, value, valid) flat arrays
         (self_play.py:161-219 analog)."""
         return flatten_trajectory(self.generate_games(key, num_games))
+
+
+def save_trajectory(traj: Trajectory, directory: str, tag: str) -> str:
+    """Persist a self-play batch as one compressed ``.npz``.
+
+    The analog of the reference's per-game ``torch.save``
+    (self_play.py:129-131), but one file per *batch* of games — thousands
+    of tiny files would be host-I/O-bound. Planes are stored as uint8.
+    """
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(directory, f"selfplay_{tag}.npz")
+    np.savez_compressed(
+        path,
+        planes=np.asarray(traj.planes).astype(np.uint8),
+        policy=np.asarray(traj.policy).astype(np.float32),
+        value=np.asarray(traj.value).astype(np.float32),
+        to_move=np.asarray(traj.to_move).astype(np.int8),
+        valid=np.asarray(traj.valid),
+        actions=np.asarray(traj.actions).astype(np.int8),
+    )
+    return path
+
+
+def load_trajectory_arrays(path: str) -> Dict[str, np.ndarray]:
+    """Load a saved self-play batch back as float/bool arrays."""
+    with np.load(path) as data:
+        return {
+            "planes": data["planes"].astype(np.float32),
+            "policy": data["policy"],
+            "value": data["value"],
+            "to_move": data["to_move"].astype(np.int32),
+            "valid": data["valid"],
+            "actions": data["actions"].astype(np.int32),
+        }

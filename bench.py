@@ -54,7 +54,9 @@ def build_bench(batch: int, steps: int):
 def bench_env_steps(batch: int = 8192, steps: int = 512,
                     repeats: int = 5) -> float:
     states, run = build_bench(batch, steps)
-    key = jax.random.PRNGKey(0)
+    # fresh wall-clock-derived keys: the runtime caches results of identical
+    # (program, inputs) executions across processes
+    key = jax.random.PRNGKey(time.time_ns() % (2**31))
     # warmup + compile
     jax.block_until_ready(run(states, key))
     best = float("inf")

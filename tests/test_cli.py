@@ -17,6 +17,7 @@ def _write_tiny_config(tmp_path) -> str:
     cfg.model.compute_dtype = "float32"
     cfg.mcts.num_simulations = 8
     cfg.self_play.num_parallel_games = 2
+    cfg.self_play.save_dir = str(tmp_path / "sp")
     cfg.training.batch_size = 16
     cfg.training.num_epochs = 1
     cfg.training.replay_capacity = 1024

@@ -37,8 +37,7 @@ def result(net_and_vars):
 
 def test_visit_conservation(result):
     # Every simulation increments the root visit exactly once.
-    root_visits = np.asarray(result.tree.visit[:, 0])
-    np.testing.assert_array_equal(root_visits, SIMS)
+    np.testing.assert_array_equal(np.asarray(result.tree.root_visit), SIMS)
     # Root children visits sum to total sims (every sim passes through one
     # root child unless the root itself were terminal).
     np.testing.assert_array_equal(
@@ -56,7 +55,7 @@ def test_only_legal_root_actions_visited(result):
 
 
 def test_node_count_bounded(result):
-    counts = np.asarray(result.tree.count)
+    counts = np.asarray(tree_lib.num_linked_nodes(result.tree))
     assert (counts <= SIMS + 1).all()
     assert (counts > 1).all()
 
@@ -64,18 +63,18 @@ def test_node_count_bounded(result):
 def test_child_states_consistent(result):
     """Each root child's stored env state equals stepping the root."""
     t = result.tree
-    children = np.asarray(t.children[:, 0])  # [B, A]
-    root_black = np.asarray(t.state.black.lo[:, 0])
+    children = np.asarray(tree_lib.children_index(t))[:, 0]  # [B, A]
+    states = tree_lib.node_states(t)
     for b in range(B):
-        root_state = jax.tree_util.tree_map(lambda x: x[b, 0], t.state)
+        root_state = jax.tree_util.tree_map(lambda x: x[b, 0], states)
         for a in range(64):
             c = children[b, a]
-            if c < 0:
+            if c <= 0:
                 continue
             stepped, valid = env.step(root_state, jnp.int32(a))
             assert bool(valid)
             assert int(u64.to_int(stepped.black)) == u64.to_int(
-                jax.tree_util.tree_map(lambda x: x[b, c], t.state).black)
+                jax.tree_util.tree_map(lambda x: x[b, c], states).black)
 
 
 def test_greedy_temperature():
@@ -113,7 +112,7 @@ def test_terminal_root_search(net_and_vars):
         num_simulations=4, c_puct=1.0, dirichlet_alpha=0.3,
         dirichlet_epsilon=0.25, max_depth=64)
     assert (np.asarray(res.visit_counts) == 0).all()
-    assert (np.asarray(res.tree.count) == 1).all()
+    assert (np.asarray(tree_lib.num_linked_nodes(res.tree)) == 1).all()
     # terminal value backed up at root: winner==to_move(black) -> +1, else -1
     np.testing.assert_allclose(np.asarray(res.root_value), [1.0, -1.0])
 

@@ -23,7 +23,9 @@ def tiny_config(tmp_path) -> Config:
                           value_head_hidden_size=16,
                           compute_dtype="float32"),
         mcts=MCTSConfig(num_simulations=8),
-        self_play=SelfPlayConfig(num_parallel_games=2, temp_threshold=4),
+        self_play=SelfPlayConfig(num_parallel_games=2, temp_threshold=4,
+                                 save_dir=str(tmp_path / "sp"),
+                                 save_every=1),
         training=TrainingConfig(batch_size=16, num_epochs=1,
                                 replay_capacity=1024, save_interval=1,
                                 checkpoint_dir=str(tmp_path / "ckpt")),
@@ -66,7 +68,9 @@ def test_checkpoint_saved_and_resumes(trained):
     assert fresh.iteration == 0
     assert fresh.load_checkpoint()
     assert fresh.iteration == 1
-    assert float(fresh.best_elo) == float(pipe.best_elo)
+    # checkpoint stores best_elo as float32 — compare with that precision
+    assert float(fresh.best_elo) == pytest.approx(float(pipe.best_elo),
+                                                  abs=1e-3)
     np.testing.assert_array_equal(np.asarray(fresh.key),
                                   np.asarray(pipe.key))
     # params restored exactly
