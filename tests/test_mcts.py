@@ -143,3 +143,26 @@ def test_sample_actions_respects_support():
     probs = jnp.array([[0.0, 1.0, 0.0, 0.0]] * 8)
     acts = np.asarray(mcts_search.sample_actions(jax.random.PRNGKey(0), probs))
     assert (acts == 1).all()
+
+
+def test_edge_update_path_matches_chained_updates():
+    """The fused whole-path scatter must be numerically identical to the
+    per-level edge_update chain it replaced (mcts/tree.py)."""
+    rng = np.random.default_rng(3)
+    B, N, L = 4, 9, 6
+    t0 = tree_lib.make_tree(B, N)
+    t0 = t0._replace(stats=jnp.asarray(
+        rng.normal(size=t0.stats.shape).astype(np.float32)))
+    nodes = jnp.asarray(rng.integers(-1, N, size=(B, L)), jnp.int32)
+    actions = jnp.asarray(
+        rng.integers(0, tree_lib.A, size=(B, L)), jnp.int32)
+    vis = jnp.ones((B, L), jnp.float32)
+    val = jnp.asarray(rng.normal(size=(B, L)).astype(np.float32))
+
+    chained = t0
+    for d in range(L):
+        chained = tree_lib.edge_update(chained, nodes[:, d], actions[:, d],
+                                       vis[:, d], val[:, d])
+    fused = tree_lib.edge_update_path(t0, nodes, actions, vis, val)
+    np.testing.assert_allclose(np.asarray(fused.stats),
+                               np.asarray(chained.stats), rtol=1e-6)
