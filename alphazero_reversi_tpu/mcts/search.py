@@ -111,6 +111,7 @@ def run_search(net, variables: Dict[str, Any], root_states: env.EnvState,
     trees = tree_lib.init_root(tree_lib.make_tree(batch, capacity),
                                root_states, prior, legal)
     root_to_move = root_states.to_move
+    root_row = trees.rows[:, 0, :]
 
     def sim_round(i, trees):
         # ---------------- select: unrolled descent --------------------
@@ -118,26 +119,28 @@ def run_search(net, variables: Dict[str, Any], root_states: env.EnvState,
         alive = jnp.ones((batch,), jnp.bool_)
         leaf = jnp.zeros((batch,), jnp.int32)
         leaf_action = jnp.full((batch,), -1, jnp.int32)
-        eval_row = trees.rows[:, 0, :]
+        eval_row = root_row  # hoisted: the root row never changes mid-search
         path_nodes, path_actions, path_tomove = [], [], []
 
         for _ in range(levels):
             row, srow = tree_lib.gather_node(trees, node)
-            p = row[:, tree_lib.PRIOR]
-            lg = row[:, tree_lib.LEGAL] > 0.5
+            p, lg = tree_lib.decode_prior_legal(row)
             done_n = row[:, tree_lib.S_DONE] > 0.5
             tomove_n = row[:, tree_lib.S_TO_MOVE]
-            visits = srow[:, tree_lib.VISITS_OFF:tree_lib.VISITS_OFF + A]
+            packed = srow[:, tree_lib.VISITS_OFF:tree_lib.VISITS_OFF + A]
+            visits, child = tree_lib.unpack_visits_child(packed)
             vsum = srow[:, tree_lib.VSUM_OFF:tree_lib.VSUM_OFF + A]
-            child = srow[:, tree_lib.CHILD_OFF:tree_lib.CHILD_OFF + A]
 
             q = jnp.where(visits > 0, vsum / jnp.maximum(visits, 1.0), 0.0)
             parent_visit = visits.sum(-1, keepdims=True) + 1.0
             score = q + c * p * jnp.sqrt(parent_visit) / (1.0 + visits)
             score = jnp.where(lg, score, -jnp.inf)
             a = jnp.argmax(score, -1).astype(jnp.int32)
-            child_idx = jnp.take_along_axis(child, a[:, None],
-                                            axis=-1)[:, 0].astype(jnp.int32)
+            # column pick via one-hot multiply-sum: a take_along_axis here
+            # is a dynamic-index op costing ~27 us/level on TPU (profiled);
+            # the one-hot form is pure VPU work
+            onehot_a = jax.nn.one_hot(a, A, dtype=jnp.float32)
+            child_idx = (child * onehot_a).sum(-1).astype(jnp.int32)
 
             can_step = alive & ~done_n
             found = can_step & (child_idx == 0)
@@ -158,7 +161,7 @@ def run_search(net, variables: Dict[str, Any], root_states: env.EnvState,
         eval_row = jnp.where(alive[:, None], trow, eval_row)
 
         # ---------------- evaluate ------------------------------------
-        base_state = tree_lib.unpack_state(eval_row[:, 2 * A:])
+        base_state = tree_lib.unpack_state(eval_row[:, A:])
         do_expand = leaf_action >= 0
         stepped, _ = env.step(base_state, jnp.maximum(leaf_action, 0),
                               compat=compat)
@@ -171,18 +174,17 @@ def run_search(net, variables: Dict[str, Any], root_states: env.EnvState,
         slot = i + 1
         trees = tree_lib.write_children_rows(
             trees, slot, tree_lib.make_row(eval_state, prior_c, legal_c))
-        trees = tree_lib.link_children(trees, leaf,
-                                       jnp.maximum(leaf_action, 0), slot,
-                                       do_expand)
 
-        # ---------------- backup: one fused whole-path scatter ---------
+        # ------- backup + child link: one fused whole-path scatter -----
         eval_tomove = eval_state.to_move.astype(jnp.float32)
         pn = jnp.stack(path_nodes, axis=-1)      # [B, levels]
         pa = jnp.stack(path_actions, axis=-1)    # [B, levels]
         pt = jnp.stack(path_tomove, axis=-1)     # [B, levels]
         sign = jnp.where(pt == eval_tomove[:, None], 1.0, -1.0)
-        trees = tree_lib.edge_update_path(
-            trees, pn, pa, jnp.ones_like(sign), sign * value_c[:, None])
+        trees = tree_lib.backup_and_link(
+            trees, pn, pa, sign * value_c[:, None],
+            leaf, jnp.maximum(leaf_action, 0),
+            jnp.broadcast_to(jnp.int32(slot), leaf.shape), do_expand)
         rsign = jnp.where(eval_state.to_move == root_to_move, 1.0, -1.0)
         return trees._replace(
             root_visit=trees.root_visit + 1,

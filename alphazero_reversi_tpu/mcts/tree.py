@@ -1,26 +1,35 @@
 """Packed array tree for batched MCTS on TPU.
 
 Replaces the reference's Python pointer tree (``MCTSNode``,
-/root/reference/src/mcts/mcts.py:33-188). Second-generation layout, designed
-from measured TPU/XLA cost behavior on this hardware (see git history for the
-first, mctx-style struct-of-arrays version):
+/root/reference/src/mcts/mcts.py:33-188). Third-generation layout, designed
+from measured TPU/XLA cost behavior on this hardware (see PERF.md and git
+history for the v1 mctx-style struct-of-arrays and v2 packed-row versions):
 
-* **One packed row per node** (``rows[B, N, K]`` float32): prior over the 65
-  actions, legal mask, and the node's env state with its ``uint32`` bitboard
-  words bit-cast into float lanes. One tree-descent level then needs a
-  single dynamic row gather instead of ~8 separate gathers across parallel
-  arrays — measured, the number of *dynamic-index ops per loop iteration*
-  (not bytes moved) is what dominates this workload on TPU.
-* **Edge statistics at the parent** (``stats[B, N*3A]`` flat float32: per
-  node ``visits[A] | value_sum[A] | child_index[A]``). PUCT reads them with
-  one dynamic slice; the child lookup needs no second indirection (the
-  mctx-style ``visits[children[node]]`` double gather measured ~0.8 ms per
-  level at B=1024 — the single most expensive op in the v1 tree).
+The binding constraint (profiled at B=1024, cap=401): every dynamic-index op
+on the big tree arrays — gather lowering's transposes, scatter's masked
+full-array pass, and the while-loop carry copies — costs a *full pass over
+the array's bytes*. Round time is therefore proportional to total tree
+bytes, and the layout's job is to make every byte count:
+
+* **Sign-encoded priors** (``rows[B, N, RK]`` float32): one column set holds
+  ``prior`` where the action is legal and ``-1.0`` where illegal — the
+  legality mask costs zero extra columns (decode: ``legal = row >= 0``,
+  ``prior = max(row, 0)``). The env state rides in the same row with its
+  ``uint32`` bitboard words bit-cast into float lanes, so one tree-descent
+  level needs a single dynamic row gather.
+* **Packed visit|child edge stats** (``stats[B, N*S]`` flat float32: per
+  node ``(1024*visits + child_slot)[A] | value_sum[A]``). Visit counts and
+  child slot indices share one f32 exactly (max packed value
+  ``1024*sims + cap`` ≪ 2^24): a visit increments by adding 1024, a child
+  links by adding its slot once — so the whole backup *and* the expansion's
+  child-linking land in ONE scatter-add per simulation round, and the
+  child-index plane's 65 columns vanish from every full pass.
+* **Edge statistics at the parent** (mctx layout): PUCT reads them with one
+  row fetch; no ``visits[children[node]]`` double gather (measured ~0.8 ms
+  per level at B=1024 in v1).
 * **Static slot allocation**: simulation ``i`` always writes node slot
   ``i+1``, for every game in the batch — a shared-index
-  ``dynamic_update_slice`` instead of per-game scatters. Slots of
-  simulations that ended on a terminal or depth-truncated node are simply
-  never linked (no ``count`` bookkeeping under ``jit``).
+  ``dynamic_update_slice`` instead of per-game row scatters.
 
 Value convention: ``value_sum[n, a]`` accumulates backed-up values **from
 the perspective of the player to move at node n**, so PUCT needs no sign
@@ -42,31 +51,41 @@ from ..ops.u64 import U64
 NUM_ACTIONS = env.NUM_ACTIONS
 A = NUM_ACTIONS
 
-# rows column layout
+# rows column layout: signed prior [0, A) then packed env state
 PRIOR = slice(0, A)
-LEGAL = slice(A, 2 * A)
-S_BLACK_HI = 2 * A
-S_BLACK_LO = 2 * A + 1
-S_WHITE_HI = 2 * A + 2
-S_WHITE_LO = 2 * A + 3
-S_TO_MOVE = 2 * A + 4
-S_PASSED = 2 * A + 5
-S_DONE = 2 * A + 6
-S_WINNER = 2 * A + 7
-K = 2 * A + 8  # row width
+S_BLACK_HI = A
+S_BLACK_LO = A + 1
+S_WHITE_HI = A + 2
+S_WHITE_LO = A + 3
+S_TO_MOVE = A + 4
+S_PASSED = A + 5
+S_DONE = A + 6
+S_WINNER = A + 7
+K = A + 8  # row width
 
-# stats per-node layout (flat stride 3A)
-STRIDE = 3 * A
-VISITS_OFF = 0
+# stats per-node layout (flat stride S): packed visits|child, then vsum
+STRIDE = 2 * A
+VISITS_OFF = 0  # packed: 1024*visits + child_slot
 VSUM_OFF = A
-CHILD_OFF = 2 * A
+
+# packing base for visits|child (must exceed any node slot index; the
+# packed value 1024*sims + cap stays far below f32's 2^24 exact-int range
+# for any practical simulation budget)
+PACK = 1024.0
+
+
+def unpack_visits_child(packed: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """packed f32 -> (visits f32, child_slot f32), both integer-valued."""
+    visits = jnp.floor(packed * (1.0 / PACK))
+    child = packed - visits * PACK
+    return visits, child
 
 
 class Tree(NamedTuple):
     """Batched packed search tree. ``B`` games, ``N`` node slots."""
 
-    rows: jax.Array  # [B, N, K] f32 — static per-node data (written once)
-    stats: jax.Array  # [B, N*3A] f32 — edge visits / value sums / child idx
+    rows: jax.Array  # [B, N, K] f32 — signed prior + env state (write-once)
+    stats: jax.Array  # [B, N*S] f32 — packed visits|child, value sums
     root_visit: jax.Array  # [B] i32 — simulations backed up to the root
     root_vsum: jax.Array  # [B] f32 — value sum at the root (root POV)
 
@@ -76,6 +95,7 @@ class Tree(NamedTuple):
 
 
 def make_tree(batch: int, capacity: int) -> Tree:
+    assert capacity < PACK, "node slots must pack below the visit base"
     return Tree(
         rows=jnp.zeros((batch, capacity, K), jnp.float32),
         stats=jnp.zeros((batch, capacity * STRIDE), jnp.float32),
@@ -114,9 +134,15 @@ def unpack_state(cols: jax.Array) -> EnvState:
 
 def make_row(state: EnvState, prior: jax.Array, legal: jax.Array
              ) -> jax.Array:
-    """Build packed rows [B, K] for newly evaluated nodes."""
-    return jnp.concatenate(
-        [prior, _f(legal), pack_state(state)], axis=-1)
+    """Build packed rows [B, K]: sign-encoded prior, then env state."""
+    signed = jnp.where(legal, prior, -1.0)
+    return jnp.concatenate([signed, pack_state(state)], axis=-1)
+
+
+def decode_prior_legal(row: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """row [..., K] -> (prior [..., A] f32, legal [..., A] bool)."""
+    signed = row[..., PRIOR]
+    return jnp.maximum(signed, 0.0), signed >= 0.0
 
 
 def init_root(tree: Tree, root_state: EnvState, prior: jax.Array,
@@ -133,56 +159,34 @@ def write_children_rows(tree: Tree, slot: jax.Array, new_rows: jax.Array
         tree.rows, new_rows[:, None, :], (0, slot, 0)))
 
 
-def link_children(tree: Tree, node: jax.Array, action: jax.Array,
-                  slot: jax.Array, do_link: jax.Array) -> Tree:
-    """Set ``child_index[node, action] = slot`` where ``do_link``
-    (others scattered out of bounds and dropped)."""
-    m = tree.stats.shape[1]
-    idx = jnp.where(do_link, node * STRIDE + CHILD_OFF + action, m)
-    stats = jax.vmap(
-        lambda s, i, v: s.at[i].set(v, mode="drop")
-    )(tree.stats, idx, jnp.broadcast_to(_f(slot), node.shape))
-    return tree._replace(stats=stats)
+def backup_and_link(tree: Tree, nodes: jax.Array, actions: jax.Array,
+                    value_incs: jax.Array, link_node: jax.Array,
+                    link_action: jax.Array, link_slot: jax.Array,
+                    do_link: jax.Array) -> Tree:
+    """Whole-path backup PLUS child linking in ONE scatter-add per game.
 
-
-def edge_update(tree: Tree, node: jax.Array, action: jax.Array,
-                visit_inc: jax.Array, value_inc: jax.Array) -> Tree:
-    """One backup level: ``visits[node, action] += visit_inc``,
-    ``value_sum[node, action] += value_inc``. ``node < 0`` rows dropped."""
-    m = tree.stats.shape[1]
-    ok = node >= 0
-    safe = jnp.maximum(node, 0)
-    i1 = jnp.where(ok, safe * STRIDE + VISITS_OFF + action, m)
-    i2 = jnp.where(ok, safe * STRIDE + VSUM_OFF + action, m)
-    stats = jax.vmap(
-        lambda s, j1, j2, vi, vv: s.at[j1].add(vi, mode="drop")
-                                   .at[j2].add(vv, mode="drop")
-    )(tree.stats, i1, i2, visit_inc, value_inc)
-    return tree._replace(stats=stats)
-
-
-def edge_update_path(tree: Tree, nodes: jax.Array, actions: jax.Array,
-                     visit_incs: jax.Array, value_incs: jax.Array) -> Tree:
-    """Whole-path backup in ONE scatter-add per game.
-
-    ``nodes``/``actions``/``visit_incs``/``value_incs`` are ``[B, L]`` (one
-    column per path level, ``node < 0`` entries dropped). Combines the visit
-    and value updates of every level into a single ``[B, 2L]``-index
-    scatter-add into the flat stats row — measured on v5e, one scatter of 2L
-    elements costs about the same as one scalar scatter (~0.1 ms at B=1024),
-    so this replaces the ~L chained scatters of per-level ``edge_update``
-    (~1.75 ms at L=16) with one op. Duplicate indices (a path revisiting an
-    edge cannot happen, but auto-pass chains can alias) accumulate correctly:
-    XLA scatter-add sums all contributions.
+    ``nodes``/``actions``/``value_incs`` are ``[B, L]`` (one column per path
+    level; ``node < 0`` entries dropped). Each path level adds ``PACK`` to
+    the packed visits|child cell (a visit) and ``value_incs`` to the vsum
+    cell. The newly expanded child links by adding ``link_slot`` once to its
+    parent edge's packed cell (exact: the slot field starts at 0 and an edge
+    expands at most once). Combining everything into a single
+    ``[B, 2L+1]``-index scatter-add replaces the v2 design's two separate
+    full-array scatter passes (backup + link, each ~full stats traffic).
     """
     m = tree.stats.shape[1]
     ok = nodes >= 0
-    safe = jnp.maximum(nodes, 0)
-    base = safe * STRIDE + actions
+    base = jnp.maximum(nodes, 0) * STRIDE + actions
     i_vis = jnp.where(ok, base + VISITS_OFF, m)
     i_val = jnp.where(ok, base + VSUM_OFF, m)
-    idx = jnp.concatenate([i_vis, i_val], axis=-1)  # [B, 2L]
-    upd = jnp.concatenate([visit_incs, value_incs], axis=-1)  # [B, 2L]
+    i_link = jnp.where(do_link,
+                       link_node * STRIDE + VISITS_OFF + link_action, m)
+    idx = jnp.concatenate([i_vis, i_val, i_link[:, None]], axis=-1)
+    upd = jnp.concatenate([
+        jnp.full(nodes.shape, PACK, jnp.float32),
+        value_incs,
+        _f(link_slot)[:, None] * jnp.ones((nodes.shape[0], 1), jnp.float32),
+    ], axis=-1)
     stats = jax.vmap(
         lambda s, i, u: s.at[i].add(u, mode="drop"))(tree.stats, idx, upd)
     return tree._replace(stats=stats)
@@ -190,7 +194,7 @@ def edge_update_path(tree: Tree, nodes: jax.Array, actions: jax.Array,
 
 def gather_node(tree: Tree, node: jax.Array
                 ) -> Tuple[jax.Array, jax.Array]:
-    """Per-game node fetch -> (row [B, K], stats row [B, 3A]).
+    """Per-game node fetch -> (row [B, K], stats row [B, S]).
 
     Both reads are batched row *gathers*. Do NOT use a vmapped
     ``dynamic_slice`` here: XLA:TPU lowers that to a serial while loop over
@@ -206,7 +210,8 @@ def gather_node(tree: Tree, node: jax.Array
 
 def root_visit_counts(tree: Tree) -> jax.Array:
     """[B, A] root child visit counts (static slice of node 0)."""
-    return tree.stats[:, VISITS_OFF:VISITS_OFF + A].astype(jnp.int32)
+    packed = tree.stats[:, VISITS_OFF:VISITS_OFF + A]
+    return unpack_visits_child(packed)[0].astype(jnp.int32)
 
 
 def root_value(tree: Tree) -> jax.Array:
@@ -217,13 +222,22 @@ def root_value(tree: Tree) -> jax.Array:
 def children_index(tree: Tree) -> jax.Array:
     """[B, N, A] int child slot per edge (0 = no child)."""
     n = tree.capacity
-    return tree.stats.reshape(tree.stats.shape[0], n, STRIDE)[
-        :, :, CHILD_OFF:CHILD_OFF + A].astype(jnp.int32)
+    packed = tree.stats.reshape(tree.stats.shape[0], n, STRIDE)[
+        :, :, VISITS_OFF:VISITS_OFF + A]
+    return unpack_visits_child(packed)[1].astype(jnp.int32)
+
+
+def visit_counts(tree: Tree) -> jax.Array:
+    """[B, N, A] int per-edge visit counts."""
+    n = tree.capacity
+    packed = tree.stats.reshape(tree.stats.shape[0], n, STRIDE)[
+        :, :, VISITS_OFF:VISITS_OFF + A]
+    return unpack_visits_child(packed)[0].astype(jnp.int32)
 
 
 def node_states(tree: Tree) -> EnvState:
     """EnvState with [B, N]-shaped leaves, unpacked from the rows."""
-    return unpack_state(tree.rows[:, :, 2 * A:])
+    return unpack_state(tree.rows[:, :, A:])
 
 
 def num_linked_nodes(tree: Tree) -> jax.Array:

@@ -145,24 +145,45 @@ def test_sample_actions_respects_support():
     assert (acts == 1).all()
 
 
-def test_edge_update_path_matches_chained_updates():
-    """The fused whole-path scatter must be numerically identical to the
-    per-level edge_update chain it replaced (mcts/tree.py)."""
+def test_backup_and_link_matches_numpy_reference():
+    """The fused whole-path backup+link scatter (mcts/tree.py) must apply
+    exactly: +1 visit and +value per path level, and one child link, with
+    the packed visits|child f32 encoding decoding losslessly."""
     rng = np.random.default_rng(3)
     B, N, L = 4, 9, 6
     t0 = tree_lib.make_tree(B, N)
-    t0 = t0._replace(stats=jnp.asarray(
-        rng.normal(size=t0.stats.shape).astype(np.float32)))
-    nodes = jnp.asarray(rng.integers(-1, N, size=(B, L)), jnp.int32)
-    actions = jnp.asarray(
-        rng.integers(0, tree_lib.A, size=(B, L)), jnp.int32)
-    vis = jnp.ones((B, L), jnp.float32)
-    val = jnp.asarray(rng.normal(size=(B, L)).astype(np.float32))
+    nodes = np.asarray(rng.integers(-1, N, size=(B, L)), np.int32)
+    actions = np.asarray(rng.integers(0, tree_lib.A, size=(B, L)), np.int32)
+    vals = rng.normal(size=(B, L)).astype(np.float32)
+    link_node = np.asarray(rng.integers(0, N, size=(B,)), np.int32)
+    link_action = np.asarray(
+        rng.integers(0, tree_lib.A, size=(B,)), np.int32)
+    link_slot = np.full((B,), 7, np.int32)
+    do_link = np.asarray([True, False, True, True])
 
-    chained = t0
-    for d in range(L):
-        chained = tree_lib.edge_update(chained, nodes[:, d], actions[:, d],
-                                       vis[:, d], val[:, d])
-    fused = tree_lib.edge_update_path(t0, nodes, actions, vis, val)
-    np.testing.assert_allclose(np.asarray(fused.stats),
-                               np.asarray(chained.stats), rtol=1e-6)
+    out = tree_lib.backup_and_link(
+        t0, jnp.asarray(nodes), jnp.asarray(actions), jnp.asarray(vals),
+        jnp.asarray(link_node), jnp.asarray(link_action),
+        jnp.asarray(link_slot), jnp.asarray(do_link))
+
+    # numpy reference
+    visits = np.zeros((B, N, tree_lib.A), np.int64)
+    vsum = np.zeros((B, N, tree_lib.A), np.float64)
+    child = np.zeros((B, N, tree_lib.A), np.int64)
+    for b in range(B):
+        for d in range(L):
+            n = nodes[b, d]
+            if n < 0:
+                continue
+            visits[b, n, actions[b, d]] += 1
+            vsum[b, n, actions[b, d]] += vals[b, d]
+        if do_link[b]:
+            child[b, link_node[b], link_action[b]] = link_slot[b]
+
+    got_visits = np.asarray(tree_lib.visit_counts(out))
+    got_child = np.asarray(tree_lib.children_index(out))
+    stats3 = np.asarray(out.stats).reshape(B, N, tree_lib.STRIDE)
+    got_vsum = stats3[:, :, tree_lib.VSUM_OFF:tree_lib.VSUM_OFF + tree_lib.A]
+    np.testing.assert_array_equal(got_visits, visits)
+    np.testing.assert_array_equal(got_child, child)
+    np.testing.assert_allclose(got_vsum, vsum, rtol=1e-5, atol=1e-6)
