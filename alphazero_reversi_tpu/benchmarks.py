@@ -42,12 +42,20 @@ def _timeit(fn, *args, repeats: int = 5) -> float:
     (program, inputs) executions ACROSS PROCESSES, so a key that any earlier
     run ever used measures the cache, not the chip. Keys derive from the
     wall clock."""
+    import numpy as np
+
+    def fetch(out):
+        # force a real host fetch: on the axon remote platform
+        # block_until_ready returns before execution (PERF.md pitfalls)
+        leaves = jax.tree_util.tree_leaves(out)
+        return float(np.asarray(leaves[0]).ravel()[0])
+
     base = jax.random.PRNGKey(time.time_ns() % (2**31))
-    jax.block_until_ready(fn(*args, jax.random.fold_in(base, 0)))
+    fetch(fn(*args, jax.random.fold_in(base, 0)))
     best = float("inf")
     for i in range(repeats):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args, jax.random.fold_in(base, 1 + i)))
+        fetch(fn(*args, jax.random.fold_in(base, 1 + i)))
         best = min(best, time.perf_counter() - t0)
     return best
 

@@ -57,12 +57,20 @@ def bench_env_steps(batch: int = 8192, steps: int = 512,
     # fresh wall-clock-derived keys: the runtime caches results of identical
     # (program, inputs) executions across processes
     key = jax.random.PRNGKey(time.time_ns() % (2**31))
-    # warmup + compile
-    jax.block_until_ready(run(states, key))
+    # warmup + compile. NOTE: time to a HOST FETCH, not block_until_ready —
+    # on the axon remote platform block_until_ready returns before the work
+    # actually executes (measured: a physically-impossible 1.3 ms for a
+    # 400-round MCTS; see PERF.md "measurement pitfalls").
+    import numpy as np
+
+    def fetch(out):
+        return float(np.asarray(out.black.lo).sum())
+
+    fetch(run(states, key))
     best = float("inf")
     for i in range(repeats):
         t0 = time.perf_counter()
-        jax.block_until_ready(run(states, jax.random.fold_in(key, i)))
+        fetch(run(states, jax.random.fold_in(key, i)))
         best = min(best, time.perf_counter() - t0)
     return batch * steps / best
 
