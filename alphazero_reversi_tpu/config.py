@@ -54,6 +54,11 @@ class MCTSConfig:
     # mctx-style). PUCT trees at <=1000 sims rarely exceed ~15 levels.
     max_depth: int = 24
     batch_size: int = 0  # leaves per NN call per game; 0 = one per sim round
+    # staged tree-capacity growth: run early simulations in a smaller tree
+    # and zero-pad between stages. Bit-identical results at any value
+    # (tested); cuts the per-round full-pass costs that scale with tree
+    # bytes. 1 disables.
+    num_stages: int = 4
 
 
 @dataclass

@@ -84,19 +84,50 @@ def _evaluate(net, variables, states: env.EnvState, compat: bool
     return prior, value, legal
 
 
+def _stage_bounds(num_simulations: int, num_stages: int) -> Tuple[int, ...]:
+    """Simulation-count boundaries for staged tree-capacity growth.
+
+    Every per-round full-pass cost (gather relayouts, the backup scatter,
+    the loop-carry copy) scales with the tree arrays' *bytes*, i.e. with
+    the node capacity (measured — PERF.md). Running the first simulations
+    in a small tree and growing it between stages cuts the average
+    capacity a round pays for to ``~(1 + 1/num_stages)/2`` of the final
+    capacity. Simulation semantics are IDENTICAL to the unstaged search:
+    slot allocation is global (sim i writes slot i+1) and a stage's
+    capacity always covers every slot it can write.
+    """
+    if num_stages <= 1 or num_simulations < 2 * num_stages:
+        return (num_simulations,)
+    bounds = []
+    for s in range(1, num_stages + 1):
+        b = (num_simulations * s) // num_stages
+        if not bounds or b > bounds[-1]:
+            bounds.append(b)
+    return tuple(bounds)
+
+
+def _grow_tree(trees: tree_lib.Tree, capacity: int) -> tree_lib.Tree:
+    """Zero-pad the node axis to ``capacity`` (slots above are unwritten)."""
+    batch, old, k = trees.rows.shape
+    pad = capacity - old
+    return trees._replace(
+        rows=jnp.pad(trees.rows, ((0, 0), (0, pad), (0, 0))),
+        stats=jnp.pad(trees.stats, ((0, 0), (0, pad * tree_lib.STRIDE))),
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("net", "num_simulations", "max_depth", "compat",
-                     "add_noise"),
+                     "add_noise", "num_stages"),
 )
 def run_search(net, variables: Dict[str, Any], root_states: env.EnvState,
                key: jax.Array, *, num_simulations: int, c_puct: float,
                dirichlet_alpha: float, dirichlet_epsilon: float,
                max_depth: int = 24, compat: bool = False,
-               add_noise: bool = True) -> SearchResult:
+               add_noise: bool = True, num_stages: int = 4) -> SearchResult:
     """Run batched MCTS from ``root_states`` (leading batch axis B)."""
     batch = root_states.to_move.shape[0]
-    capacity = num_simulations + 1
     c = jnp.float32(c_puct)
     # a path cannot be longer than the expansions that built it, nor than
     # the number of stones the board can still take
@@ -108,7 +139,8 @@ def run_search(net, variables: Dict[str, Any], root_states: env.EnvState,
         prior = add_dirichlet_noise(prior, legal, key, dirichlet_alpha,
                                     dirichlet_epsilon)
 
-    trees = tree_lib.init_root(tree_lib.make_tree(batch, capacity),
+    bounds = _stage_bounds(num_simulations, num_stages)
+    trees = tree_lib.init_root(tree_lib.make_tree(batch, bounds[0] + 1),
                                root_states, prior, legal)
     root_to_move = root_states.to_move
     root_row = trees.rows[:, 0, :]
@@ -191,7 +223,12 @@ def run_search(net, variables: Dict[str, Any], root_states: env.EnvState,
             root_vsum=trees.root_vsum + rsign * value_c,
         )
 
-    trees = jax.lax.fori_loop(0, num_simulations, sim_round, trees)
+    start = 0
+    for end in bounds:
+        if start > 0:
+            trees = _grow_tree(trees, end + 1)
+        trees = jax.lax.fori_loop(start, end, sim_round, trees)
+        start = end
 
     visit_counts = tree_lib.root_visit_counts(trees)
     total = jnp.maximum(visit_counts.sum(axis=-1, keepdims=True), 1)
@@ -260,6 +297,7 @@ class MCTS:
             max_depth=self.config.max_depth,
             compat=self.compat,
             add_noise=add_noise,
+            num_stages=self.config.num_stages,
         )
 
     def get_action_probs(self, root_states: env.EnvState, key: jax.Array,

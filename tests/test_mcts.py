@@ -187,3 +187,33 @@ def test_backup_and_link_matches_numpy_reference():
     np.testing.assert_array_equal(got_visits, visits)
     np.testing.assert_array_equal(got_child, child)
     np.testing.assert_allclose(got_vsum, vsum, rtol=1e-5, atol=1e-6)
+
+
+def test_staged_capacity_matches_unstaged():
+    """Staged tree-capacity growth (num_stages>1) must be bit-identical to
+    the single-stage search: slot allocation is global and stage capacity
+    always covers every slot a stage can write (search._stage_bounds)."""
+    cfg = ModelConfig(num_res_blocks=1, num_filters=8)
+    net = resnet.build_network(cfg)
+    variables = resnet.init_variables(net, jax.random.PRNGKey(3))
+    roots = env.initial_state((4,))
+    key = jax.random.PRNGKey(11)
+    kw = dict(num_simulations=37, c_puct=1.0, dirichlet_alpha=0.3,
+              dirichlet_epsilon=0.25)
+    r1 = mcts_search.run_search(net, variables, roots, key,
+                                num_stages=1, **kw)
+    for stages in (3, 4):
+        rs = mcts_search.run_search(net, variables, roots, key,
+                                    num_stages=stages, **kw)
+        np.testing.assert_array_equal(np.asarray(r1.visit_counts),
+                                      np.asarray(rs.visit_counts))
+        np.testing.assert_allclose(np.asarray(r1.root_value),
+                                   np.asarray(rs.root_value), rtol=1e-6)
+
+
+def test_stage_bounds_cover_all_simulations():
+    for sims in (1, 2, 5, 8, 37, 100, 400):
+        for stages in (1, 2, 4, 8):
+            b = mcts_search._stage_bounds(sims, stages)
+            assert b[-1] == sims
+            assert all(x < y for x, y in zip(b, b[1:]))
