@@ -173,7 +173,27 @@ def backup_and_link(tree: Tree, nodes: jax.Array, actions: jax.Array,
     expands at most once). Combining everything into a single
     ``[B, 2L+1]``-index scatter-add replaces the v2 design's two separate
     full-array scatter passes (backup + link, each ~full stats traffic).
+
+    An in-place Pallas kernel variant exists (``pallas_backup``, opt-in
+    via ``AZR_PALLAS_BACKUP=1``): isolated it beats this scatter ~1.8x,
+    but end-to-end it measures slower (550 vs 591 moves/s — XLA overlaps
+    the scatter with other round work); outputs are exact-equal because
+    every collision cell sums exact small integers.
     """
+    from . import pallas_backup
+
+    batch = tree.stats.shape[0]
+    if pallas_backup.enabled(batch):
+        link = jnp.stack([
+            link_node,
+            link_action,
+            jnp.where(do_link, link_slot, -1),
+        ], axis=-1).astype(jnp.int32)
+        stats = pallas_backup.backup_and_link_tpu(
+            tree.stats, jnp.float32(PACK), nodes.astype(jnp.int32),
+            actions.astype(jnp.int32), value_incs.astype(jnp.float32), link)
+        return tree._replace(stats=stats)
+
     m = tree.stats.shape[1]
     ok = nodes >= 0
     base = jnp.maximum(nodes, 0) * STRIDE + actions

@@ -217,3 +217,39 @@ def test_stage_bounds_cover_all_simulations():
             b = mcts_search._stage_bounds(sims, stages)
             assert b[-1] == sims
             assert all(x < y for x, y in zip(b, b[1:]))
+
+
+def test_pallas_backup_interpret_matches_scatter():
+    """The Pallas backup kernel (interpret mode, runs on CPU) must equal
+    the jnp scatter-add path exactly."""
+    from alphazero_reversi_tpu.mcts import pallas_backup
+
+    rng = np.random.default_rng(5)
+    B, N, L = 16, 33, 6
+    S = tree_lib.STRIDE
+    stats = jnp.asarray(rng.normal(size=(B, N * S)).astype(np.float32))
+    nodes = jnp.asarray(
+        np.where(rng.random((B, L)) < 0.7,
+                 rng.integers(0, N, (B, L)), -1).astype(np.int32))
+    actions = jnp.asarray(rng.integers(0, tree_lib.A, (B, L)).astype(np.int32))
+    incs = jnp.asarray(rng.normal(size=(B, L)).astype(np.float32))
+    link_node = jnp.asarray(rng.integers(0, N, (B,)).astype(np.int32))
+    link_action = jnp.asarray(rng.integers(0, tree_lib.A, (B,)).astype(np.int32))
+    link_slot = jnp.asarray(rng.integers(1, N, (B,)).astype(np.int32))
+    do_link = jnp.asarray(rng.random((B,)) < 0.8)
+
+    t = tree_lib.Tree(rows=jnp.zeros((B, N, tree_lib.K), jnp.float32),
+                      stats=stats,
+                      root_visit=jnp.zeros((B,), jnp.int32),
+                      root_vsum=jnp.zeros((B,), jnp.float32))
+    expected = tree_lib.backup_and_link(
+        t, nodes, actions, incs, link_node, link_action, link_slot,
+        do_link).stats
+
+    link = jnp.stack([link_node, link_action,
+                      jnp.where(do_link, link_slot, -1)], -1).astype(jnp.int32)
+    got = pallas_backup.backup_and_link_tpu(
+        stats, jnp.float32(tree_lib.PACK), nodes, actions, incs, link,
+        games_per_block=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               atol=1e-5)
