@@ -58,7 +58,7 @@ class MCTSConfig:
     # and zero-pad between stages. Bit-identical results at any value
     # (tested); cuts the per-round full-pass costs that scale with tree
     # bytes. 1 disables.
-    num_stages: int = 4
+    num_stages: int = 6
 
 
 @dataclass

@@ -125,7 +125,7 @@ def run_search(net, variables: Dict[str, Any], root_states: env.EnvState,
                key: jax.Array, *, num_simulations: int, c_puct: float,
                dirichlet_alpha: float, dirichlet_epsilon: float,
                max_depth: int = 24, compat: bool = False,
-               add_noise: bool = True, num_stages: int = 4) -> SearchResult:
+               add_noise: bool = True, num_stages: int = 6) -> SearchResult:
     """Run batched MCTS from ``root_states`` (leading batch axis B)."""
     batch = root_states.to_move.shape[0]
     c = jnp.float32(c_puct)
