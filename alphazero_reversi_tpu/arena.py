@@ -44,25 +44,22 @@ def _random_probs(states: env.EnvState, compat: bool) -> jax.Array:
     return legal / jnp.maximum(legal.sum(axis=-1, keepdims=True), 1e-9)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("net", "num_games", "num_simulations", "max_depth",
-                     "max_moves", "compat", "a_random", "b_random"),
-)
-def play_pair(net, vars_a, vars_b, key: jax.Array, *, num_games: int,
-              num_simulations: int, c_puct: float, temperature: float,
-              max_depth: int = 64, max_moves: int = 60, compat: bool = False,
-              a_random: bool = False, b_random: bool = False) -> jax.Array:
-    """Play ``num_games`` games of A vs B in lockstep.
+def _score_a(final: env.EnvState, a_color: jax.Array) -> jax.Array:
+    """Per-game score for A: 1.0 win / 0.5 draw / 0.0 loss (arena.py:264-270).
+    Games still unfinished at the ply cap are scored by piece count (the
+    batch analog of the reference's max-moves cutoff)."""
+    nb, nw = env.score(final)
+    count_winner = jnp.where(nb > nw, env.BLACK,
+                             jnp.where(nw > nb, env.WHITE, 0)).astype(jnp.int32)
+    winner = jnp.where(final.done, final.winner, count_winner)
+    return jnp.where(winner == a_color, 1.0,
+                     jnp.where(winner == 0, 0.5, 0.0)).astype(jnp.float32)
 
-    A plays BLACK in even-indexed games and WHITE in odd ones (the batched
-    form of the reference's per-round color alternation, arena.py:339-341).
-    Returns ``score_a`` per game: 1.0 win / 0.5 draw / 0.0 loss
-    (arena.py:264-270 scoring).
-    """
-    a_color = jnp.where(jnp.arange(num_games) % 2 == 0, env.BLACK,
-                        env.WHITE).astype(jnp.int32)
-    states = env.initial_state((num_games,))
+
+def _make_side_probs(net, *, num_simulations: int, c_puct: float,
+                     temperature: float, max_depth: int, compat: bool):
+    """Policy for one side: full MCTS at the tournament temperature, or the
+    uniform random baseline (arena.py:177-188)."""
 
     def side_probs(states, skey, variables, is_random: bool) -> jax.Array:
         if is_random:
@@ -74,6 +71,103 @@ def play_pair(net, vars_a, vars_b, key: jax.Array, *, num_games: int,
             max_depth=max_depth, compat=compat, add_noise=False)
         return search_lib.probs_with_temperature(
             result.visit_counts, jnp.float32(temperature))
+
+    return side_probs
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("net", "num_games", "num_simulations", "max_depth",
+                     "max_moves", "compat", "a_random", "b_random",
+                     "pass_slack", "return_final"),
+)
+def play_pair(net, vars_a, vars_b, key: jax.Array, *, num_games: int,
+              num_simulations: int, c_puct: float, temperature: float,
+              max_depth: int = 64, max_moves: int = 60, compat: bool = False,
+              a_random: bool = False, b_random: bool = False,
+              pass_slack: int = 8, return_final: bool = False) -> jax.Array:
+    """Play ``num_games`` games of A vs B, searching only for the mover.
+
+    A plays BLACK in the first ``num_games // 2`` games and WHITE in the rest
+    (the batched form of the reference's per-round color alternation,
+    arena.py:339-341). Every game starts with BLACK to move, and the mover's
+    *color* strictly alternates by ply except across auto-passes, so at ply
+    ``t`` the scheduled color is known statically — each half of the batch
+    needs exactly ONE half-batch search (A's net on the half where A owns the
+    scheduled color, B's on the other). That is half the search FLOPs of
+    running both players' searches full-batch and discarding the non-mover's
+    (the round-1 implementation — VERDICT item 8). A game whose mover
+    diverges from the schedule (an auto-pass gives one player two plies in a
+    row) stalls for exactly one ply and realigns, so the ply budget is
+    ``max_moves + pass_slack`` instead of ``max_moves``.
+
+    Returns ``score_a`` per game: 1.0 win / 0.5 draw / 0.0 loss
+    (arena.py:264-270 scoring).
+    """
+    if num_games % 2 != 0:
+        raise ValueError(f"num_games={num_games} must be even (color split)")
+    half = num_games // 2
+    a_color = jnp.where(jnp.arange(num_games) < half, env.BLACK,
+                        env.WHITE).astype(jnp.int32)
+    states = env.initial_state((num_games,))
+    side_probs = _make_side_probs(
+        net, num_simulations=num_simulations, c_puct=c_puct,
+        temperature=temperature, max_depth=max_depth, compat=compat)
+
+    def half_ply(states, step_key, sched_color: int):
+        """One ply at statically-known scheduled color: one half-batch
+        search per player, moves applied only where the game's actual mover
+        matches the schedule."""
+        k0, k1, ks = jax.random.split(step_key, 3)
+        s0 = jax.tree_util.tree_map(lambda x: x[:half], states)
+        s1 = jax.tree_util.tree_map(lambda x: x[half:], states)
+        if sched_color == env.BLACK:  # A owns BLACK in half 0
+            p0 = side_probs(s0, k0, vars_a, a_random)
+            p1 = side_probs(s1, k1, vars_b, b_random)
+        else:
+            p0 = side_probs(s0, k0, vars_b, b_random)
+            p1 = side_probs(s1, k1, vars_a, a_random)
+        probs = jnp.concatenate([p0, p1], axis=0)
+        actions = search_lib.sample_actions(ks, probs)
+        move_ok = (states.to_move == sched_color) & ~states.done
+        new_states, _ = env.step(states, actions, compat=compat)
+        return jax.tree_util.tree_map(
+            lambda new, old: jnp.where(move_ok, new, old), new_states, states)
+
+    def ply_pair(states, pair_key):
+        kb, kw = jax.random.split(pair_key)
+        states = half_ply(states, kb, env.BLACK)
+        states = half_ply(states, kw, env.WHITE)
+        return states, None
+
+    num_pairs = (max_moves + pass_slack + 1) // 2
+    pair_keys = jax.random.split(key, num_pairs)
+    final, _ = jax.lax.scan(ply_pair, states, pair_keys)
+    scores = _score_a(final, a_color)
+    return (scores, final) if return_final else scores
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("net", "num_games", "num_simulations", "max_depth",
+                     "max_moves", "compat", "a_random", "b_random"),
+)
+def play_pair_lockstep(net, vars_a, vars_b, key: jax.Array, *, num_games: int,
+                       num_simulations: int, c_puct: float, temperature: float,
+                       max_depth: int = 64, max_moves: int = 60,
+                       compat: bool = False, a_random: bool = False,
+                       b_random: bool = False) -> jax.Array:
+    """Round-1 arena kernel: both players' searches run full-batch every ply
+    and the non-mover's is discarded. 2x the search cost of ``play_pair``;
+    kept as the test oracle — under deterministic play (temperature ~0) the
+    two must produce identical game outcomes (same color split)."""
+    half = num_games // 2
+    a_color = jnp.where(jnp.arange(num_games) < half, env.BLACK,
+                        env.WHITE).astype(jnp.int32)
+    states = env.initial_state((num_games,))
+    side_probs = _make_side_probs(
+        net, num_simulations=num_simulations, c_puct=c_puct,
+        temperature=temperature, max_depth=max_depth, compat=compat)
 
     def move_step(states, step_key):
         ka, kb, ks = jax.random.split(step_key, 3)
@@ -90,13 +184,7 @@ def play_pair(net, vars_a, vars_b, key: jax.Array, *, num_games: int,
 
     step_keys = jax.random.split(key, max_moves)
     final, _ = jax.lax.scan(move_step, states, step_keys)
-
-    nb, nw = env.score(final)
-    count_winner = jnp.where(nb > nw, env.BLACK,
-                             jnp.where(nw > nb, env.WHITE, 0)).astype(jnp.int32)
-    winner = jnp.where(final.done, final.winner, count_winner)
-    return jnp.where(winner == a_color, 1.0,
-                     jnp.where(winner == 0, 0.5, 0.0)).astype(jnp.float32)
+    return _score_a(final, a_color)
 
 
 class Arena:

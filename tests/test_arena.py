@@ -79,6 +79,42 @@ def test_mcts_vs_random_match(net_and_vars):
     assert np.asarray(scores).shape == (4,)
 
 
+def test_phased_matches_lockstep_when_deterministic(net_and_vars):
+    """The mover-only phased arena (VERDICT item 8: half the search cost)
+    must produce identical game outcomes to the round-1 both-searches
+    lockstep arena under deterministic play: temperature ~0 makes every
+    search argmax-deterministic given the state, so per-game trajectories
+    coincide ply for ply."""
+    net, variables = net_and_vars
+    vars_b = resnet.init_variables(net, jax.random.PRNGKey(7))
+    kwargs = dict(num_games=8, num_simulations=8, c_puct=1.0,
+                  temperature=0.0)
+    phased = np.asarray(arena_lib.play_pair(
+        net, variables, vars_b, jax.random.PRNGKey(5), **kwargs))
+    lockstep = np.asarray(arena_lib.play_pair_lockstep(
+        net, variables, vars_b, jax.random.PRNGKey(11), **kwargs))
+    np.testing.assert_array_equal(phased, lockstep)
+
+
+def test_phased_stall_realigns_on_pass():
+    """A game where an auto-pass gives one color two plies in a row must
+    stall exactly one ply and keep advancing (the pass_slack mechanism)."""
+    # random-vs-random with a generous ply budget: every game must reach a
+    # terminal position (done=True) well before the cap, passes included.
+    scores, final = arena_lib.play_pair(
+        None, None, None, jax.random.PRNGKey(9), num_games=64,
+        num_simulations=1, c_puct=1.0, temperature=1.0,
+        a_random=True, b_random=True, pass_slack=16, return_final=True)
+    scores = np.asarray(scores)
+    assert scores.shape == (64,)
+    assert set(np.unique(scores)).issubset({0.0, 0.5, 1.0})
+    # every game reached a true terminal position: any pass-stalled games
+    # realigned and caught up within the slack budget
+    assert bool(np.asarray(final.done).all())
+    # both colors must win sometimes over 64 random games
+    assert scores.min() == 0.0 and scores.max() == 1.0
+
+
 def test_tournament_updates_all_players(net_and_vars):
     net, variables = net_and_vars
     cfg = TournamentConfig(rounds=1, num_simulations=4, games_per_pair=2,
