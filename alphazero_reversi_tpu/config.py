@@ -41,19 +41,29 @@ class MCTSConfig:
 
     ``dirichlet_alpha``/``dirichlet_epsilon`` are applied at the root
     (the reference only declared them — SURVEY.md §2.4).
+
+    The reference's ``mcts.temperature`` / ``mcts.temperature_threshold``
+    duplicated the self-play schedule fields and were never consumed
+    (src/config.py:27-28); here the schedule lives solely in
+    ``SelfPlayConfig`` (``temp_init``/``temp_final``/``temp_threshold``) and
+    ``Config.from_dict`` migrates the reference spellings into it, so
+    reference JSONs keep their meaning instead of being silently dropped.
     """
 
     num_simulations: int = 500
     c_puct: float = 1.0
     dirichlet_alpha: float = 0.03
     dirichlet_epsilon: float = 0.25
-    temperature: float = 1.0
-    temperature_threshold: int = 30
     # static descent-depth bound: select/backup unroll this many levels per
     # simulation (deeper simulations are evaluated at the node reached,
     # mctx-style). PUCT trees at <=1000 sims rarely exceed ~15 levels.
     max_depth: int = 24
-    batch_size: int = 0  # leaves per NN call per game; 0 = one per sim round
+    # leaves selected/evaluated/expanded per simulation round, diversified
+    # by in-round virtual loss (the reference's batch_size collected leaves
+    # within ONE game, src/mcts/mcts.py:348-392; here each of the B games
+    # contributes `batch_size` leaves per round, amortizing per-round tree
+    # costs). 1 = classic one-leaf-per-round search.
+    batch_size: int = 1
     # staged tree-capacity growth: run early simulations in a smaller tree
     # and zero-pad between stages. Bit-identical results at any value
     # (tested); cuts the per-round full-pass costs that scale with tree
@@ -69,6 +79,12 @@ class SelfPlayConfig:
     accepted it but looped sequentially — SURVEY.md §2.3); temperature
     scheduling (``temp_threshold``/``temp_init``/``temp_final``) is applied
     per move as PLAN.md intended.
+
+    ``num_games`` is the per-iteration game target (reference semantics,
+    src/config.py:33): each iteration plays
+    ``ceil(num_games / num_parallel_games)`` jitted batches of
+    ``num_parallel_games`` lockstep games — i.e. the target is rounded UP
+    to whole device batches.
     """
 
     num_games: int = 30
@@ -167,6 +183,23 @@ class Config:
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "Config":
+        # migrate the reference's temperature-schedule spellings so loading
+        # a reference-format JSON keeps their meaning (SURVEY.md §2.4 — the
+        # reference declared these and ignored them; we refuse to silently
+        # drop user config): mcts.temperature -> self_play.temp_init,
+        # mcts.temperature_threshold / self_play.temperature_threshold ->
+        # self_play.temp_threshold. Explicit new-style fields win.
+        d = dict(d)
+        mcts_raw = dict(d.get("mcts", {}))
+        sp_raw = dict(d.get("self_play", {}))
+        if "temperature" in mcts_raw and "temp_init" not in sp_raw:
+            sp_raw["temp_init"] = mcts_raw["temperature"]
+        for legacy in (mcts_raw.get("temperature_threshold"),
+                       sp_raw.get("temperature_threshold")):
+            if legacy is not None and "temp_threshold" not in sp_raw:
+                sp_raw["temp_threshold"] = legacy
+        d["self_play"] = sp_raw
+
         def sub(section_cls, key):
             raw = dict(d.get(key, {}))
             known = {f.name for f in section_cls.__dataclass_fields__.values()}

@@ -146,23 +146,34 @@ class AlphaZeroPipeline:
     # -- phases -------------------------------------------------------------
     def _generate_self_play_data(self) -> int:
         """Self-play + replay insert; returns number of new positions
-        (pipeline.py:152-270 analog). Trajectories are persisted to
-        ``self_play.save_dir`` every ``save_every`` iterations (the batch
-        analog of the reference's per-game torch.save, self_play.py:129)."""
-        self.selfplay.variables = self.learner.variables
-        self.key, sp_key = jax.random.split(self.key)
-        traj = self.selfplay.generate_games(
-            sp_key, self.config.self_play.num_parallel_games)
+        (pipeline.py:152-270 analog). Plays ``ceil(num_games /
+        num_parallel_games)`` jitted batches of ``num_parallel_games``
+        lockstep games — the per-iteration game budget the reference
+        declared (src/config.py:33) but served with a sequential loop.
+        Trajectories are persisted to ``self_play.save_dir`` every
+        ``save_every`` iterations (the batch analog of the reference's
+        per-game torch.save, self_play.py:129)."""
         sp_cfg = self.config.self_play
-        if sp_cfg.save_every > 0 and self.iteration % sp_cfg.save_every == 0:
-            selfplay_lib.save_trajectory(traj, sp_cfg.save_dir,
-                                         f"it{self.iteration:06d}")
-        planes, policy, value, valid = selfplay_lib.flatten_trajectory(traj)
+        self.selfplay.variables = self.learner.variables
         if self.config.training.train_on_latest_only:
             self.buffer = replay_lib.reset(self.buffer)
-        self.buffer = replay_lib.add(self.buffer, planes, policy, value,
-                                     valid)
-        return int(valid.sum())
+        num_batches = max(1, math.ceil(sp_cfg.num_games
+                                       / sp_cfg.num_parallel_games))
+        new_positions = 0
+        for b in range(num_batches):
+            self.key, sp_key = jax.random.split(self.key)
+            traj = self.selfplay.generate_games(sp_key,
+                                                sp_cfg.num_parallel_games)
+            if (sp_cfg.save_every > 0
+                    and self.iteration % sp_cfg.save_every == 0):
+                selfplay_lib.save_trajectory(
+                    traj, sp_cfg.save_dir, f"it{self.iteration:06d}_b{b}")
+            planes, policy, value, valid = \
+                selfplay_lib.flatten_trajectory(traj)
+            self.buffer = replay_lib.add(self.buffer, planes, policy, value,
+                                         valid)
+            new_positions += int(valid.sum())
+        return new_positions
 
     def _train_epoch(self, num_positions: int) -> Dict[str, float]:
         """One pass of SGD over the fresh data volume

@@ -29,3 +29,33 @@ def test_unknown_fields_ignored(tmp_path):
     d["model"]["legacy_field"] = 123  # e.g. a reference config file
     loaded = Config.from_dict(d)
     assert loaded.model.num_filters == 128
+
+
+def test_reference_temperature_fields_migrate():
+    """The reference's mcts.temperature / *.temperature_threshold spellings
+    must land in the self-play schedule, not be silently dropped
+    (SURVEY.md §2.4; VERDICT item 7)."""
+    d = {"mcts": {"temperature": 0.7, "temperature_threshold": 21}}
+    cfg = Config.from_dict(d)
+    assert cfg.self_play.temp_init == 0.7
+    assert cfg.self_play.temp_threshold == 21
+
+    # the reference's default_config.json spells it inside self_play
+    d = {"self_play": {"temperature_threshold": 10}}
+    assert Config.from_dict(d).self_play.temp_threshold == 10
+
+    # explicit new-style fields win over legacy spellings
+    d = {"mcts": {"temperature": 0.7, "temperature_threshold": 21},
+         "self_play": {"temp_init": 0.5, "temp_threshold": 3}}
+    cfg = Config.from_dict(d)
+    assert cfg.self_play.temp_init == 0.5
+    assert cfg.self_play.temp_threshold == 3
+
+
+def test_reference_default_config_loads():
+    """The actual reference config file must load with its schedule intact."""
+    cfg = Config.load("/root/reference/configs/default_config.json")
+    assert cfg.mcts.num_simulations == 400
+    assert cfg.self_play.num_games == 100
+    assert cfg.self_play.temp_threshold == 10  # from temperature_threshold
+    assert cfg.self_play.temp_init == 1.0  # from mcts.temperature

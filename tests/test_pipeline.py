@@ -23,7 +23,8 @@ def tiny_config(tmp_path) -> Config:
                           value_head_hidden_size=16,
                           compute_dtype="float32"),
         mcts=MCTSConfig(num_simulations=8),
-        self_play=SelfPlayConfig(num_parallel_games=2, temp_threshold=4,
+        self_play=SelfPlayConfig(num_games=2, num_parallel_games=2,
+                                 temp_threshold=4,
                                  save_dir=str(tmp_path / "sp"),
                                  save_every=1),
         training=TrainingConfig(batch_size=16, num_epochs=1,
@@ -108,3 +109,16 @@ def test_logger_writes_files(trained):
     run_dir = pipe.logger.run_dir
     assert os.path.exists(os.path.join(run_dir, "training.log"))
     assert os.path.exists(os.path.join(run_dir, "config.json"))
+
+
+def test_num_games_drives_batch_count(tmp_path):
+    """self_play.num_games is the per-iteration game budget: 3 games at
+    width 2 -> 2 jitted batches -> 4 games of positions (VERDICT item 7)."""
+    cfg = tiny_config(tmp_path / "ng")
+    cfg.self_play.num_games = 3
+    cfg.self_play.max_moves = 6
+    cfg.mcts.num_simulations = 2
+    pipe = AlphaZeroPipeline(cfg, run_name="ng")
+    n = pipe._generate_self_play_data()
+    assert n == 4 * 6  # 2 batches x 2 games x 6 live slots
+    assert int(pipe.buffer.size) == n
