@@ -57,6 +57,13 @@ def cmd_create_config(args) -> int:
 
 
 def cmd_train(args) -> int:
+    # multi-host process-group init (no-op unless a coordinator is given);
+    # must run before any backend touch so jax.devices() spans all hosts
+    from .parallel import mesh as mesh_lib
+    mesh_lib.initialize_distributed(
+        coordinator_address=getattr(args, "coordinator", None),
+        num_processes=getattr(args, "num_processes", None),
+        process_id=getattr(args, "process_id", None))
     config = _load_config(args.config)
     if args.iterations is not None:
         config.training.num_epochs = args.iterations
@@ -140,6 +147,11 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--resume", action="store_true")
     t.add_argument("--checkpoint", default=None,
                    help="explicit checkpoint path for --resume")
+    t.add_argument("--coordinator", default=None,
+                   help="multi-host coordinator address "
+                        "(jax.distributed.initialize)")
+    t.add_argument("--num-processes", type=int, default=None)
+    t.add_argument("--process-id", type=int, default=None)
     t.set_defaults(fn=cmd_train)
 
     # `continue` == `train --resume` (train.py:70-92, minus its NameError)

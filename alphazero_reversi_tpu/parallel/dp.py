@@ -124,10 +124,11 @@ class DPTrainer:
             self.state, learner_lib.lr_at_iteration(self.cfg, iteration))
 
     def step(self, planes, policy_tgt, value_tgt,
-             rng: Optional[jax.Array] = None) -> Dict[str, jax.Array]:
-        if rng is None:
-            rng = jax.random.PRNGKey(0)
+             dropout_rng: Optional[jax.Array] = None
+             ) -> Dict[str, jax.Array]:
+        if dropout_rng is None:
+            dropout_rng = jax.random.PRNGKey(0)
         batch = mesh_lib.shard_batch(self.mesh,
                                      (planes, policy_tgt, value_tgt))
-        self.state, aux = self._step(self.state, *batch, rng)
+        self.state, aux = self._step(self.state, *batch, dropout_rng)
         return aux

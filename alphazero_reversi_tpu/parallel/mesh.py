@@ -49,10 +49,15 @@ def make_mesh(cfg: Optional[MeshConfig] = None,
     n = len(devices)
     model = cfg.model_axis if cfg.model_axis > 0 else 1
     data = cfg.data_axis if cfg.data_axis > 0 else n // model
-    if data * model != n:
+    if data * model > n:
         raise ValueError(
-            f"mesh {data}x{model} does not cover {n} devices")
-    arr = np.asarray(devices).reshape(data, model)
+            f"mesh {data}x{model} needs more than the {n} visible devices")
+    if cfg.data_axis <= 0 and data * model != n:
+        raise ValueError(
+            f"mesh -1x{model} cannot cover {n} devices evenly")
+    # an explicitly-sized mesh may use a subset of the visible devices
+    # (e.g. a single-device pipeline on a multi-device host)
+    arr = np.asarray(devices[:data * model]).reshape(data, model)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 

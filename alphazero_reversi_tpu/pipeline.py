@@ -44,6 +44,8 @@ from . import selfplay as selfplay_lib
 from .config import Config
 from .logger import Logger, setup_logger
 from .models import resnet
+from .parallel import dp as dp_lib
+from .parallel import mesh as mesh_lib
 
 
 def make_checkpoint_template(config: Config) -> Dict[str, Any]:
@@ -76,8 +78,35 @@ class AlphaZeroPipeline:
         self.key, init_key = jax.random.split(self.key)
         variables = resnet.init_variables(self.net, init_key)
 
-        self.learner = learner_lib.Learner(self.net, variables,
-                                           config.training)
+        # device mesh from config.mesh (data_axis -1 = every visible
+        # device). With >1 device the pipeline IS data-parallel: self-play
+        # batches shard over the `data` axis (zero-communication SPMD) and
+        # SGD runs the explicit-collective DP step (grads/BN stats pmean'd
+        # over ICI) — the distributed training the reference only planned
+        # (/root/reference/PLAN.md:196). With 1 device both collapse to the
+        # single-chip paths.
+        self.mesh = mesh_lib.make_mesh(config.mesh)
+        self.num_devices = int(np.prod(list(self.mesh.shape.values())))
+        deferred_logs = []
+        if self.num_devices > 1:
+            # batch axes must divide evenly over the data axis; round up
+            # rather than crash (logged below once the logger exists)
+            d = self.mesh.shape[mesh_lib.DATA_AXIS]
+            for section, name in ((config.self_play, "num_parallel_games"),
+                                  (config.training, "batch_size")):
+                v = getattr(section, name)
+                if v % d:
+                    new = ((v + d - 1) // d) * d
+                    setattr(section, name, new)
+                    deferred_logs.append(
+                        f"{name} rounded {v} -> {new} to divide the "
+                        f"{d}-way data axis")
+        if self.num_devices > 1:
+            self.learner = dp_lib.DPTrainer(self.net, variables,
+                                            config.training, self.mesh)
+        else:
+            self.learner = learner_lib.Learner(self.net, variables,
+                                               config.training)
         self.buffer = replay_lib.create(config.training.replay_capacity,
                                         board_size=config.model.board_size)
         self.selfplay = selfplay_lib.SelfPlay(
@@ -101,6 +130,11 @@ class AlphaZeroPipeline:
             use_tensorboard=config.logging.use_tensorboard,
             verbose=config.logging.verbose)
         self.logger.log_config(config.to_dict())
+        if self.num_devices > 1:
+            self.logger.info("data-parallel over %d devices (mesh %s)",
+                             self.num_devices, dict(self.mesh.shape))
+        for msg in deferred_logs:
+            self.logger.warning(msg)
 
     # -- checkpoint plumbing ----------------------------------------------
     def _checkpoint_tree(self) -> Dict[str, Any]:
@@ -129,9 +163,12 @@ class AlphaZeroPipeline:
         if path is None:
             return False
         restored = ckpt_lib.restore_checkpoint(path, self._checkpoint_tree())
-        self.learner.state = learner_lib.TrainState(*restored["state"]) \
+        state = learner_lib.TrainState(*restored["state"]) \
             if not isinstance(restored["state"], learner_lib.TrainState) \
             else restored["state"]
+        if self.num_devices > 1:
+            state = mesh_lib.replicate(self.mesh, state)
+        self.learner.state = state
         self.best_variables = restored["best_variables"]
         self.buffer = replay_lib.ReplayBuffer(*restored["replay"]) \
             if not isinstance(restored["replay"], replay_lib.ReplayBuffer) \
@@ -162,8 +199,15 @@ class AlphaZeroPipeline:
         new_positions = 0
         for b in range(num_batches):
             self.key, sp_key = jax.random.split(self.key)
-            traj = self.selfplay.generate_games(sp_key,
-                                                sp_cfg.num_parallel_games)
+            if self.num_devices > 1:
+                traj = dp_lib.sharded_play_games(
+                    self.net, self.learner.variables, sp_key, self.mesh,
+                    num_games=sp_cfg.num_parallel_games,
+                    **selfplay_lib.search_kwargs(
+                        self.config.mcts, sp_cfg, self.config.env_compat))
+            else:
+                traj = self.selfplay.generate_games(
+                    sp_key, sp_cfg.num_parallel_games)
             if (sp_cfg.save_every > 0
                     and self.iteration % sp_cfg.save_every == 0):
                 selfplay_lib.save_trajectory(

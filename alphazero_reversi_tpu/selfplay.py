@@ -86,14 +86,14 @@ def _outcome_value(final: env.EnvState, to_move: jax.Array) -> jax.Array:
 @functools.partial(
     jax.jit,
     static_argnames=("net", "num_games", "num_simulations", "max_depth",
-                     "max_moves", "compat"),
+                     "max_moves", "compat", "num_stages"),
 )
 def play_games(net, variables: Dict[str, Any], key: jax.Array, *,
                num_games: int, num_simulations: int, c_puct: float,
                dirichlet_alpha: float, dirichlet_epsilon: float,
                temp_threshold: int, temp_init: float, temp_final: float,
                max_depth: int = 64, max_moves: int = 60,
-               compat: bool = False,
+               compat: bool = False, num_stages: int = 6,
                init_states: env.EnvState | None = None) -> Trajectory:
     """Play ``num_games`` games in lockstep; one XLA program end to end.
 
@@ -115,7 +115,8 @@ def play_games(net, variables: Dict[str, Any], key: jax.Array, *,
             num_simulations=num_simulations, c_puct=c_puct,
             dirichlet_alpha=dirichlet_alpha,
             dirichlet_epsilon=dirichlet_epsilon,
-            max_depth=max_depth, compat=compat, add_noise=True)
+            max_depth=max_depth, compat=compat, add_noise=True,
+            num_stages=num_stages)
 
         temp = jnp.where(t < temp_threshold, jnp.float32(temp_init),
                          jnp.float32(temp_final))
@@ -164,6 +165,25 @@ def flatten_trajectory(traj: Trajectory
     )
 
 
+def search_kwargs(mcts_config: MCTSConfig, sp_config: SelfPlayConfig,
+                  compat: bool = False) -> Dict[str, Any]:
+    """``play_games`` search/schedule keyword arguments from configs (shared
+    by the single-device wrapper and the mesh-sharded path, parallel.dp)."""
+    return dict(
+        num_simulations=mcts_config.num_simulations,
+        c_puct=mcts_config.c_puct,
+        dirichlet_alpha=mcts_config.dirichlet_alpha,
+        dirichlet_epsilon=mcts_config.dirichlet_epsilon,
+        temp_threshold=sp_config.temp_threshold,
+        temp_init=sp_config.temp_init,
+        temp_final=sp_config.temp_final,
+        max_depth=mcts_config.max_depth,
+        max_moves=sp_config.max_moves,
+        compat=compat,
+        num_stages=mcts_config.num_stages,
+    )
+
+
 class SelfPlay:
     """Object wrapper matching the reference's ``SelfPlay`` surface
     (self_play.py:18-49) over the functional core."""
@@ -180,18 +200,8 @@ class SelfPlay:
                        num_games: int | None = None) -> Trajectory:
         n = num_games or self.sp_config.num_parallel_games
         return play_games(
-            self.net, self.variables, key,
-            num_games=n,
-            num_simulations=self.mcts_config.num_simulations,
-            c_puct=self.mcts_config.c_puct,
-            dirichlet_alpha=self.mcts_config.dirichlet_alpha,
-            dirichlet_epsilon=self.mcts_config.dirichlet_epsilon,
-            temp_threshold=self.sp_config.temp_threshold,
-            temp_init=self.sp_config.temp_init,
-            temp_final=self.sp_config.temp_final,
-            max_depth=self.mcts_config.max_depth,
-            max_moves=self.sp_config.max_moves,
-            compat=self.compat,
+            self.net, self.variables, key, num_games=n,
+            **search_kwargs(self.mcts_config, self.sp_config, self.compat),
         )
 
     def generate_training_data(self, key: jax.Array,

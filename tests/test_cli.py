@@ -16,6 +16,8 @@ def _write_tiny_config(tmp_path) -> str:
     cfg.model.value_head_hidden_size = 16
     cfg.model.compute_dtype = "float32"
     cfg.mcts.num_simulations = 8
+    cfg.mesh.data_axis = 1  # single-device path (DP covered elsewhere)
+    cfg.self_play.num_games = 2
     cfg.self_play.num_parallel_games = 2
     cfg.self_play.save_dir = str(tmp_path / "sp")
     cfg.training.batch_size = 16

@@ -26,8 +26,14 @@ def test_mesh_shapes():
     assert m.shape == {"data": 8, "model": 1}
     m2 = mesh_lib.make_mesh(MeshConfig(data_axis=4, model_axis=2))
     assert m2.shape == {"data": 4, "model": 2}
+    # an explicitly-sized mesh may take a device subset (single-device
+    # pipeline on a multi-device host)...
+    m3 = mesh_lib.make_mesh(MeshConfig(data_axis=3, model_axis=1),
+                            devices=jax.devices())
+    assert m3.shape == {"data": 3, "model": 1}
+    # ...but never more devices than exist
     with pytest.raises(ValueError):
-        mesh_lib.make_mesh(MeshConfig(data_axis=3, model_axis=1),
+        mesh_lib.make_mesh(MeshConfig(data_axis=9, model_axis=1),
                            devices=jax.devices())
 
 
@@ -122,3 +128,69 @@ def test_sharded_selfplay_rejects_indivisible(net_and_vars):
                               dirichlet_alpha=0.3, dirichlet_epsilon=0.25,
                               temp_threshold=4, temp_init=1.0,
                               temp_final=0.1)
+
+
+def test_pipeline_trains_data_parallel(tmp_path):
+    """`python train.py train` on a multi-device mesh IS data-parallel
+    (VERDICT item 2): the pipeline adopts the full mesh from config.mesh,
+    self-play shards over the data axis, SGD runs the DP step, and an
+    indivisible batch width is rounded up."""
+    import json
+    import os
+
+    from alphazero_reversi_tpu import cli
+    from alphazero_reversi_tpu.config import Config
+    from alphazero_reversi_tpu.pipeline import AlphaZeroPipeline
+
+    cfg = Config()
+    cfg.seed = 2
+    cfg.model.num_res_blocks = 1
+    cfg.model.num_filters = 8
+    cfg.model.value_head_hidden_size = 16
+    cfg.model.compute_dtype = "float32"
+    cfg.mcts.num_simulations = 2
+    cfg.mcts.max_depth = 4
+    cfg.self_play.num_games = 6  # indivisible by 8 -> rounded up
+    cfg.self_play.num_parallel_games = 6
+    cfg.self_play.max_moves = 4
+    cfg.self_play.save_dir = str(tmp_path / "sp")
+    cfg.training.batch_size = 8
+    cfg.training.num_epochs = 1
+    cfg.training.replay_capacity = 256
+    cfg.training.checkpoint_dir = str(tmp_path / "ckpt")
+    cfg.tournament.rounds = 0
+    cfg.logging.log_dir = str(tmp_path / "logs")
+    cfg.logging.use_tensorboard = False
+    cfg.logging.verbose = False
+    # mesh left at defaults: data_axis=-1 = all 8 virtual devices
+
+    pipe = AlphaZeroPipeline(cfg, run_name="dp")
+    from alphazero_reversi_tpu.parallel.dp import DPTrainer
+    assert isinstance(pipe.learner, DPTrainer)
+    assert pipe.num_devices == 8
+    assert cfg.self_play.num_parallel_games == 8  # rounded up from 6
+    pipe.train()
+    m = pipe.metrics_history[0]
+    assert np.isfinite(m["train/loss"])
+    assert m["selfplay/positions"] == 8 * 4  # 8 games x 4 live slots
+    # params replicated across every device after the DP step
+    leaf = jax.tree_util.tree_leaves(pipe.learner.state.params)[0]
+    shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
+    # checkpoint written by the DP pipeline restores into a fresh one
+    assert any(n.startswith("it_")
+               for n in os.listdir(cfg.training.checkpoint_dir))
+    fresh = AlphaZeroPipeline(cfg, run_name="dp2")
+    assert fresh.load_checkpoint()
+    assert fresh.iteration == 1
+
+    # the same config drives DP through the reference CLI surface
+    cfg2 = Config.from_dict(json.loads(json.dumps(cfg.to_dict())))
+    cfg2.training.checkpoint_dir = str(tmp_path / "ckpt2")
+    cfg2.logging.log_dir = str(tmp_path / "logs2")
+    path = str(tmp_path / "dp.json")
+    cfg2.save(path)
+    assert cli.main(["train", "--config", path]) == 0
+    assert any(n.startswith("it_")
+               for n in os.listdir(cfg2.training.checkpoint_dir))

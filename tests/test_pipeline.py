@@ -10,8 +10,9 @@ import pytest
 from alphazero_reversi_tpu import checkpoint as ckpt_lib
 from alphazero_reversi_tpu import learner as learner_lib
 from alphazero_reversi_tpu import replay as replay_lib
-from alphazero_reversi_tpu.config import Config, MCTSConfig, ModelConfig, \
-    SelfPlayConfig, TournamentConfig, TrainingConfig, LoggingConfig
+from alphazero_reversi_tpu.config import Config, MCTSConfig, MeshConfig, \
+    ModelConfig, SelfPlayConfig, TournamentConfig, TrainingConfig, \
+    LoggingConfig
 from alphazero_reversi_tpu.models import resnet
 from alphazero_reversi_tpu.pipeline import AlphaZeroPipeline
 
@@ -34,6 +35,8 @@ def tiny_config(tmp_path) -> Config:
                                     games_per_pair=2),
         logging=LoggingConfig(log_dir=str(tmp_path / "logs"),
                               use_tensorboard=False, verbose=False),
+        # single-device path by default; the DP pipeline has its own tests
+        mesh=MeshConfig(data_axis=1),
     )
 
 
