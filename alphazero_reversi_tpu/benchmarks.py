@@ -100,7 +100,8 @@ def bench_env(batch: int = 8192, steps: int = 512, repeats: int = 5,
 def bench_mcts(batch_sizes: Optional[List[int]] = None,
                num_simulations: int = 400, num_res_blocks: int = 5,
                num_filters: int = 128, repeats: int = 3,
-               compute_dtype: str = "bfloat16") -> List[Dict[str, float]]:
+               compute_dtype: str = "bfloat16", leaf_batch: int = 1,
+               num_stages: int = 6) -> List[Dict[str, float]]:
     """Time one full search (one *move decision* for every game in the
     batch) across batch sizes; report time/search, moves/s, nodes/s.
 
@@ -123,17 +124,181 @@ def bench_mcts(batch_sizes: Optional[List[int]] = None,
             return search_lib.run_search(
                 net, variables, states, k,
                 num_simulations=num_simulations, c_puct=1.0,
-                dirichlet_alpha=0.3, dirichlet_epsilon=0.25)
+                dirichlet_alpha=0.3, dirichlet_epsilon=0.25,
+                num_stages=num_stages, leaf_batch=leaf_batch)
 
         best = _timeit(run, roots, repeats=repeats)
         results.append({
             "batch": b,
             "num_simulations": num_simulations,
+            "leaf_batch": leaf_batch,
             "time_per_search_s": best,
             "moves_per_s": b / best,
             "nodes_per_s": b * num_simulations / best,
         })
     return results
+
+
+def bench_nn_forward(batch: int, num_res_blocks: int, num_filters: int,
+                     compute_dtype: str = "bfloat16", steps: int = 64,
+                     repeats: int = 3) -> float:
+    """Seconds per NN forward at ``batch``, measured inside a scanned loop
+    (single dispatches through the relay measure the tunnel — PERF.md).
+    This is the search's roofline: a perfectly tree-overhead-free search
+    costs ``rounds x nn_forward(B x leaf_batch)``."""
+    cfg = ModelConfig(num_res_blocks=num_res_blocks,
+                      num_filters=num_filters, compute_dtype=compute_dtype)
+    net = resnet.build_network(cfg)
+    variables = resnet.init_variables(net, jax.random.PRNGKey(0))
+
+    @jax.jit
+    def run(key):
+        planes0 = jax.random.bernoulli(
+            key, 0.3, (batch, 8, 8, 3)).astype(jnp.float32)
+
+        def body(planes, _):
+            logits, value = resnet.apply_eval(net, variables, planes)
+            # feed outputs back in so iterations are data-dependent
+            shift = (value.mean() + logits.mean()) * 1e-6
+            return planes + shift, None
+
+        final, _ = jax.lax.scan(body, planes0, None, length=steps)
+        return final
+
+    best = _timeit(lambda k: run(k), repeats=repeats)
+    return best / steps
+
+
+def bench_roofline(batch: int = 1024,
+                   sims_list: Optional[List[int]] = None,
+                   leaf_batches: Optional[List[int]] = None,
+                   nets: Optional[List[Dict]] = None,
+                   repeats: int = 3) -> List[Dict[str, float]]:
+    """The operating-point table VERDICT round 1 asked for: moves/s across
+    sims x net x leaf_batch, with the measured NN roofline
+    (``batch / (rounds x nn_forward_time)``) and the fraction of it the
+    search achieves. Answers "what operating point, if any, reaches the
+    50k moves/s/chip north star"."""
+    sims_list = sims_list or [32, 100, 400]
+    leaf_batches = leaf_batches or [1, 4, 8]
+    nets = nets or [
+        {"name": "tiny-1x16", "blocks": 1, "filters": 16},
+        {"name": "flagship-5x128", "blocks": 5, "filters": 128},
+    ]
+    rows = []
+    for netspec in nets:
+        nn_time = {}  # total NN batch -> s/forward
+        for sims in sims_list:
+            for lb in leaf_batches:
+                if sims % lb:
+                    continue
+                nb = batch * lb
+                if nb not in nn_time:
+                    nn_time[nb] = bench_nn_forward(
+                        nb, netspec["blocks"], netspec["filters"],
+                        repeats=repeats)
+                r = bench_mcts(
+                    [batch], num_simulations=sims,
+                    num_res_blocks=netspec["blocks"],
+                    num_filters=netspec["filters"], repeats=repeats,
+                    leaf_batch=lb)[0]
+                rounds = sims // lb
+                roofline = batch / (rounds * nn_time[nb])
+                rows.append({
+                    "net": netspec["name"], "batch": batch, "sims": sims,
+                    "leaf_batch": lb,
+                    "moves_per_s": round(r["moves_per_s"], 1),
+                    "nn_ms_per_round": round(nn_time[nb] * 1e3, 3),
+                    "roofline_moves_per_s": round(roofline, 1),
+                    "roofline_frac": round(r["moves_per_s"] / roofline, 3),
+                })
+                print(json.dumps(rows[-1]), file=sys.stderr)
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# multi-device scaling
+# ---------------------------------------------------------------------------
+
+def bench_scaling(device_counts: Optional[List[int]] = None,
+                  env_batch_per_device: int = 4096, env_steps: int = 256,
+                  sp_games_per_device: int = 32, sp_sims: int = 16,
+                  repeats: int = 3, skip_selfplay: bool = False) -> Dict:
+    """Scaling-efficiency harness (BASELINE.md >=85% target; VERDICT item 5).
+
+    For each device count d: env-steps/s and self-play moves/s with the
+    batch sharded over a d-device ``data``-axis mesh, at constant
+    per-device work (weak scaling). Efficiency = rate_d / (d x rate_1).
+    On a real pod this measures ICI scaling; on the virtual CPU mesh it
+    validates the sharded program and gives a proxy number (all "devices"
+    share one physical core, so absolute rates drop — the harness reports
+    the sharding overhead, not the pod's).
+    """
+    from .config import MeshConfig, ModelConfig as MC
+    from .parallel import dp, mesh as mesh_lib
+
+    device_counts = device_counts or [1, 2, 4, 8]
+    n_avail = len(jax.devices())
+    device_counts = [d for d in device_counts if d <= n_avail]
+
+    out: Dict = {"devices_available": n_avail, "env": [], "selfplay": []}
+    for d in device_counts:
+        mesh = mesh_lib.make_mesh(MeshConfig(data_axis=d, model_axis=1))
+        batch = env_batch_per_device * d
+        fresh = mesh_lib.shard_batch(mesh, env.initial_state((batch,)))
+
+        @jax.jit
+        def run(states, key):
+            def body(s, k):
+                legal = env.legal_action_mask(s)
+                scores = jax.random.uniform(k, (batch, env.NUM_ACTIONS))
+                action = jnp.argmax(jnp.where(legal, scores, -1.0),
+                                    axis=-1).astype(jnp.int32)
+                ns, _ = env.step(s, action)
+                ns = jax.tree_util.tree_map(
+                    lambda f, n: jnp.where(ns.done, f, n), fresh, ns)
+                return ns, None
+
+            final, _ = jax.lax.scan(body, states,
+                                    jax.random.split(key, env_steps))
+            return final
+
+        best = _timeit(run, fresh, repeats=repeats)
+        out["env"].append({"devices": d, "batch": batch,
+                           "env_steps_per_s": batch * env_steps / best})
+
+        if not skip_selfplay:
+            cfg = MC(num_res_blocks=1, num_filters=16,
+                     value_head_hidden_size=16)
+            net = resnet.build_network(cfg)
+            variables = resnet.init_variables(net, jax.random.PRNGKey(0))
+            games = sp_games_per_device * d
+
+            def run_sp(k):
+                from . import selfplay as selfplay_lib
+                traj = dp.sharded_play_games(
+                    net, variables, k, mesh, num_games=games,
+                    num_simulations=sp_sims, c_puct=1.0,
+                    dirichlet_alpha=0.3, dirichlet_epsilon=0.25,
+                    temp_threshold=15, temp_init=1.0, temp_final=0.1,
+                    max_moves=60)
+                return traj.valid
+
+            best = _timeit(lambda k: run_sp(k), repeats=repeats)
+            out["selfplay"].append({
+                "devices": d, "games": games,
+                "moves_per_s": games * 60 / best})
+
+    for key in ("env", "selfplay"):
+        rows = out[key]
+        if not rows:
+            continue
+        base = rows[0]
+        rate_key = "env_steps_per_s" if key == "env" else "moves_per_s"
+        for row in rows:
+            ideal = base[rate_key] / base["devices"] * row["devices"]
+            row["efficiency_pct"] = round(100.0 * row[rate_key] / ideal, 1)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -180,6 +345,20 @@ def main(argv: Optional[List[str]] = None) -> int:
     m.add_argument("--blocks", type=int, default=5)
     m.add_argument("--filters", type=int, default=128)
     m.add_argument("--dtype", default="bfloat16")
+    m.add_argument("--leaf-batch", type=int, default=1)
+    m.add_argument("--stages", type=int, default=6)
+
+    r = sub.add_parser("roofline")
+    r.add_argument("--batch", type=int, default=1024)
+    r.add_argument("--sims", type=int, nargs="+", default=None)
+    r.add_argument("--leaf-batches", type=int, nargs="+", default=None)
+
+    s = sub.add_parser("scaling")
+    s.add_argument("--devices", type=int, nargs="+", default=None)
+    s.add_argument("--env-batch-per-device", type=int, default=4096)
+    s.add_argument("--games-per-device", type=int, default=32)
+    s.add_argument("--sims", type=int, default=16)
+    s.add_argument("--skip-selfplay", action="store_true")
 
     f = sub.add_parser("profile")
     f.add_argument("--trace-dir", default="/tmp/jax_trace")
@@ -192,8 +371,18 @@ def main(argv: Optional[List[str]] = None) -> int:
                                    compat=args.compat), indent=2))
     elif args.command == "mcts":
         for row in bench_mcts(args.batch_sizes, args.sims, args.blocks,
-                              args.filters, compute_dtype=args.dtype):
+                              args.filters, compute_dtype=args.dtype,
+                              leaf_batch=args.leaf_batch,
+                              num_stages=args.stages):
             print(json.dumps(row))
+    elif args.command == "roofline":
+        print(json.dumps(bench_roofline(args.batch, args.sims,
+                                        args.leaf_batches), indent=2))
+    elif args.command == "scaling":
+        print(json.dumps(bench_scaling(
+            args.devices, args.env_batch_per_device,
+            sp_games_per_device=args.games_per_device, sp_sims=args.sims,
+            skip_selfplay=args.skip_selfplay), indent=2))
     elif args.command == "profile":
         out = profile_search(args.trace_dir, args.batch, args.sims)
         print(f"trace written to {out}", file=sys.stderr)

@@ -119,15 +119,37 @@ def _grow_tree(trees: tree_lib.Tree, capacity: int) -> tree_lib.Tree:
 @functools.partial(
     jax.jit,
     static_argnames=("net", "num_simulations", "max_depth", "compat",
-                     "add_noise", "num_stages"),
+                     "add_noise", "num_stages", "leaf_batch"),
 )
 def run_search(net, variables: Dict[str, Any], root_states: env.EnvState,
                key: jax.Array, *, num_simulations: int, c_puct: float,
                dirichlet_alpha: float, dirichlet_epsilon: float,
                max_depth: int = 24, compat: bool = False,
-               add_noise: bool = True, num_stages: int = 6) -> SearchResult:
-    """Run batched MCTS from ``root_states`` (leading batch axis B)."""
+               add_noise: bool = True, num_stages: int = 6,
+               leaf_batch: int = 1) -> SearchResult:
+    """Run batched MCTS from ``root_states`` (leading batch axis B).
+
+    ``leaf_batch`` (``MCTSConfig.batch_size``) is the number of leaves each
+    game selects/evaluates/expands per simulation round. The reference's
+    ``batch_size`` collected leaves within ONE game with virtual loss
+    (mcts.py:348-392,416); here every game contributes ``leaf_batch``
+    leaves per round, so a round's NN forward is ``leaf_batch*B`` states
+    (bigger MXU batch) while the per-round full-pass tree costs — the
+    loop-carry copy, the gather-lowering relayouts, the backup scatter —
+    are paid once per round instead of once per simulation. Descents within
+    a round diversify by **root virtual loss** (each in-round descent adds
+    one pending root visit counted as a loss); descents that nevertheless
+    land on the same (leaf, action) evaluate/back up that leaf again but
+    link it only once (exactly the reference's duplicate-leaf behavior
+    under virtual loss). ``num_simulations`` must divide by ``leaf_batch``.
+    """
     batch = root_states.to_move.shape[0]
+    L = leaf_batch
+    if L < 1 or num_simulations % L != 0:
+        raise ValueError(
+            f"num_simulations={num_simulations} must be a positive multiple "
+            f"of leaf_batch={L}")
+    num_rounds = num_simulations // L
     c = jnp.float32(c_puct)
     # a path cannot be longer than the expansions that built it, nor than
     # the number of stones the board can still take
@@ -139,94 +161,152 @@ def run_search(net, variables: Dict[str, Any], root_states: env.EnvState,
         prior = add_dirichlet_noise(prior, legal, key, dirichlet_alpha,
                                     dirichlet_epsilon)
 
-    bounds = _stage_bounds(num_simulations, num_stages)
-    trees = tree_lib.init_root(tree_lib.make_tree(batch, bounds[0] + 1),
+    bounds = _stage_bounds(num_rounds, num_stages)
+    trees = tree_lib.init_root(tree_lib.make_tree(batch, bounds[0] * L + 1),
                                root_states, prior, legal)
     root_to_move = root_states.to_move
     root_row = trees.rows[:, 0, :]
+    root_p, root_lg = tree_lib.decode_prior_legal(root_row)
+    root_done = root_row[:, tree_lib.S_DONE] > 0.5
+    root_tomove = root_row[:, tree_lib.S_TO_MOVE]
+    S = tree_lib.STRIDE
 
-    def sim_round(i, trees):
-        # ---------------- select: unrolled descent --------------------
-        node = jnp.zeros((batch,), jnp.int32)
-        alive = jnp.ones((batch,), jnp.bool_)
-        leaf = jnp.zeros((batch,), jnp.int32)
-        leaf_action = jnp.full((batch,), -1, jnp.int32)
-        eval_row = root_row  # hoisted: the root row never changes mid-search
-        path_nodes, path_actions, path_tomove = [], [], []
+    def sim_round(r, trees):
+        # root edge stats: a STATIC slice (node 0) — no gather; constant
+        # within the round, adjusted per descent by the in-round virtual
+        # visits ``root_extra``
+        root_srow = trees.stats[:, :S]
+        root_packed = root_srow[:, tree_lib.VISITS_OFF:tree_lib.VISITS_OFF + A]
+        root_visits, root_child = tree_lib.unpack_visits_child(root_packed)
+        root_vsum = root_srow[:, tree_lib.VSUM_OFF:tree_lib.VSUM_OFF + A]
+        root_extra = jnp.zeros((batch, A), jnp.float32)
 
-        for _ in range(levels):
-            row, srow = tree_lib.gather_node(trees, node)
-            p, lg = tree_lib.decode_prior_legal(row)
-            done_n = row[:, tree_lib.S_DONE] > 0.5
-            tomove_n = row[:, tree_lib.S_TO_MOVE]
-            packed = srow[:, tree_lib.VISITS_OFF:tree_lib.VISITS_OFF + A]
-            visits, child = tree_lib.unpack_visits_child(packed)
-            vsum = srow[:, tree_lib.VSUM_OFF:tree_lib.VSUM_OFF + A]
+        descents = []  # per descent: (pn, pa, sign-source to_move, leaf, act, eval_row)
+        for l in range(L):
+            node = jnp.zeros((batch,), jnp.int32)
+            alive = jnp.ones((batch,), jnp.bool_)
+            leaf = jnp.zeros((batch,), jnp.int32)
+            leaf_action = jnp.full((batch,), -1, jnp.int32)
+            eval_row = root_row  # root never changes mid-search
+            path_nodes, path_actions, path_tomove = [], [], []
 
-            q = jnp.where(visits > 0, vsum / jnp.maximum(visits, 1.0), 0.0)
-            parent_visit = visits.sum(-1, keepdims=True) + 1.0
-            score = q + c * p * jnp.sqrt(parent_visit) / (1.0 + visits)
-            score = jnp.where(lg, score, -jnp.inf)
-            a = jnp.argmax(score, -1).astype(jnp.int32)
-            # column pick via one-hot multiply-sum: a take_along_axis here
-            # is a dynamic-index op costing ~27 us/level on TPU (profiled);
-            # the one-hot form is pure VPU work
-            onehot_a = jax.nn.one_hot(a, A, dtype=jnp.float32)
-            child_idx = (child * onehot_a).sum(-1).astype(jnp.int32)
+            for level in range(levels):
+                if level == 0:
+                    row = root_row
+                    p, lg = root_p, root_lg
+                    done_n, tomove_n = root_done, root_tomove
+                    # virtual loss: pending in-round root visits count as
+                    # visits that returned a loss
+                    visits = root_visits + root_extra
+                    vsum = root_vsum - root_extra
+                    child = root_child
+                else:
+                    row, srow = tree_lib.gather_node(trees, node)
+                    p, lg = tree_lib.decode_prior_legal(row)
+                    done_n = row[:, tree_lib.S_DONE] > 0.5
+                    tomove_n = row[:, tree_lib.S_TO_MOVE]
+                    packed = srow[:, tree_lib.VISITS_OFF:
+                                  tree_lib.VISITS_OFF + A]
+                    visits, child = tree_lib.unpack_visits_child(packed)
+                    vsum = srow[:, tree_lib.VSUM_OFF:tree_lib.VSUM_OFF + A]
 
-            can_step = alive & ~done_n
-            found = can_step & (child_idx == 0)
-            hit_terminal = alive & done_n
-            path_nodes.append(jnp.where(can_step, node, -1))
-            path_actions.append(jnp.where(can_step, a, 0))
-            path_tomove.append(tomove_n)
+                q = jnp.where(visits > 0, vsum / jnp.maximum(visits, 1.0),
+                              0.0)
+                parent_visit = visits.sum(-1, keepdims=True) + 1.0
+                score = q + c * p * jnp.sqrt(parent_visit) / (1.0 + visits)
+                score = jnp.where(lg, score, -jnp.inf)
+                a = jnp.argmax(score, -1).astype(jnp.int32)
+                # column pick via one-hot multiply-sum: a take_along_axis
+                # here is a dynamic-index op costing ~27 us/level on TPU
+                # (profiled); the one-hot form is pure VPU work
+                onehot_a = jax.nn.one_hot(a, A, dtype=jnp.float32)
+                child_idx = (child * onehot_a).sum(-1).astype(jnp.int32)
 
-            finishing = found | hit_terminal
-            eval_row = jnp.where(finishing[:, None], row, eval_row)
-            leaf = jnp.where(found, node, leaf)
-            leaf_action = jnp.where(found, a, leaf_action)
-            alive = alive & ~finishing
-            node = jnp.where(alive, child_idx, node)
+                can_step = alive & ~done_n
+                found = can_step & (child_idx == 0)
+                hit_terminal = alive & done_n
+                path_nodes.append(jnp.where(can_step, node, -1))
+                path_actions.append(jnp.where(can_step, a, 0))
+                path_tomove.append(tomove_n)
+                if level == 0:
+                    root_extra = root_extra + jnp.where(
+                        can_step[:, None], onehot_a, 0.0)
 
-        # depth-truncated lanes evaluate the node they reached (no expand)
-        trow, _ = tree_lib.gather_node(trees, node)
-        eval_row = jnp.where(alive[:, None], trow, eval_row)
+                finishing = found | hit_terminal
+                eval_row = jnp.where(finishing[:, None], row, eval_row)
+                leaf = jnp.where(found, node, leaf)
+                leaf_action = jnp.where(found, a, leaf_action)
+                alive = alive & ~finishing
+                node = jnp.where(alive, child_idx, node)
 
-        # ---------------- evaluate ------------------------------------
-        base_state = tree_lib.unpack_state(eval_row[:, A:])
-        do_expand = leaf_action >= 0
-        stepped, _ = env.step(base_state, jnp.maximum(leaf_action, 0),
-                              compat=compat)
+            # depth-truncated lanes evaluate the node they reached (no
+            # expansion)
+            trow, _ = tree_lib.gather_node(trees, node)
+            eval_row = jnp.where(alive[:, None], trow, eval_row)
+            descents.append((jnp.stack(path_nodes, -1),
+                             jnp.stack(path_actions, -1),
+                             jnp.stack(path_tomove, -1),
+                             leaf, leaf_action, eval_row))
+
+        pn = jnp.concatenate([d[0] for d in descents], -1)  # [B, L*levels]
+        pa = jnp.concatenate([d[1] for d in descents], -1)
+        pt = jnp.concatenate([d[2] for d in descents], -1)
+        leaves = jnp.stack([d[3] for d in descents], -1)     # [B, L]
+        leaf_acts = jnp.stack([d[4] for d in descents], -1)  # [B, L]
+        eval_rows = jnp.stack([d[5] for d in descents], 1)   # [B, L, K]
+
+        # ---------------- evaluate all L*B leaves at once ---------------
+        base_state = tree_lib.unpack_state(
+            eval_rows.reshape(batch * L, -1)[:, A:])
+        do_expand = (leaf_acts >= 0).reshape(batch * L)
+        stepped, _ = env.step(
+            base_state, jnp.maximum(leaf_acts.reshape(batch * L), 0),
+            compat=compat)
         eval_state = jax.tree_util.tree_map(
             lambda s, t: jnp.where(do_expand, t, s), base_state, stepped)
         prior_c, value_c, legal_c = _evaluate(net, variables, eval_state,
                                               compat)
 
-        # ---------------- expand (shared slot i+1) --------------------
-        slot = i + 1
+        # ------------- expand: L contiguous slots, ONE DUS --------------
+        slot0 = r * L + 1
         trees = tree_lib.write_children_rows(
-            trees, slot, tree_lib.make_row(eval_state, prior_c, legal_c))
+            trees, slot0,
+            tree_lib.make_row(eval_state, prior_c, legal_c
+                              ).reshape(batch, L, -1))
 
-        # ------- backup + child link: one fused whole-path scatter -----
-        eval_tomove = eval_state.to_move.astype(jnp.float32)
-        pn = jnp.stack(path_nodes, axis=-1)      # [B, levels]
-        pa = jnp.stack(path_actions, axis=-1)    # [B, levels]
-        pt = jnp.stack(path_tomove, axis=-1)     # [B, levels]
-        sign = jnp.where(pt == eval_tomove[:, None], 1.0, -1.0)
+        # ------- backup + child link: one fused whole-round scatter -----
+        eval_tomove = eval_state.to_move.reshape(batch, L)  # [B, L]
+        value_bl = value_c.reshape(batch, L)
+        # per path entry: sign vs the to_move of its descent's evaluated
+        # state (entry j belongs to descent j // levels)
+        et_expand = jnp.repeat(eval_tomove, levels, axis=1)  # [B, L*levels]
+        v_expand = jnp.repeat(value_bl, levels, axis=1)
+        sign = jnp.where(pt == et_expand.astype(jnp.float32), 1.0, -1.0)
+
+        # in-round duplicate (leaf, action) selections: evaluate + back up
+        # again, link only the first (an edge's packed child slot must be
+        # added exactly once)
+        same = ((leaves[:, :, None] == leaves[:, None, :])
+                & (leaf_acts[:, :, None] == leaf_acts[:, None, :]))
+        earlier = jnp.tril(jnp.ones((L, L), jnp.bool_), k=-1)[None]
+        is_dup = (same & earlier).any(-1)
+        do_link = (leaf_acts >= 0) & ~is_dup
+        slots = slot0 + jnp.arange(L, dtype=jnp.int32)[None]  # [1, L]
+
         trees = tree_lib.backup_and_link(
-            trees, pn, pa, sign * value_c[:, None],
-            leaf, jnp.maximum(leaf_action, 0),
-            jnp.broadcast_to(jnp.int32(slot), leaf.shape), do_expand)
-        rsign = jnp.where(eval_state.to_move == root_to_move, 1.0, -1.0)
+            trees, pn, pa, sign * v_expand,
+            leaves, jnp.maximum(leaf_acts, 0),
+            jnp.broadcast_to(slots, leaves.shape), do_link)
+        rsign = jnp.where(eval_tomove == root_to_move[:, None], 1.0, -1.0)
         return trees._replace(
-            root_visit=trees.root_visit + 1,
-            root_vsum=trees.root_vsum + rsign * value_c,
+            root_visit=trees.root_visit + L,
+            root_vsum=trees.root_vsum + (rsign * value_bl).sum(-1),
         )
 
     start = 0
     for end in bounds:
         if start > 0:
-            trees = _grow_tree(trees, end + 1)
+            trees = _grow_tree(trees, end * L + 1)
         trees = jax.lax.fori_loop(start, end, sim_round, trees)
         start = end
 
@@ -298,6 +378,7 @@ class MCTS:
             compat=self.compat,
             add_noise=add_noise,
             num_stages=self.config.num_stages,
+            leaf_batch=self.config.batch_size,
         )
 
     def get_action_probs(self, root_states: env.EnvState, key: jax.Array,

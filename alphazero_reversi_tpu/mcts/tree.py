@@ -154,40 +154,53 @@ def init_root(tree: Tree, root_state: EnvState, prior: jax.Array,
 
 def write_children_rows(tree: Tree, slot: jax.Array, new_rows: jax.Array
                         ) -> Tree:
-    """Write every game's new node at the shared ``slot`` (one DUS)."""
+    """Write new node rows at shared slots (one DUS).
+
+    ``new_rows`` is ``[B, L, K]``: every game's ``L`` freshly expanded nodes
+    land in the contiguous slots ``slot .. slot+L-1`` — multi-leaf expansion
+    still costs a single shared-index ``dynamic_update_slice``.
+    """
     return tree._replace(rows=jax.lax.dynamic_update_slice(
-        tree.rows, new_rows[:, None, :], (0, slot, 0)))
+        tree.rows, new_rows, (0, slot, 0)))
 
 
 def backup_and_link(tree: Tree, nodes: jax.Array, actions: jax.Array,
-                    value_incs: jax.Array, link_node: jax.Array,
-                    link_action: jax.Array, link_slot: jax.Array,
+                    value_incs: jax.Array, link_nodes: jax.Array,
+                    link_actions: jax.Array, link_slots: jax.Array,
                     do_link: jax.Array) -> Tree:
-    """Whole-path backup PLUS child linking in ONE scatter-add per game.
+    """Whole-round backup PLUS child linking in ONE scatter-add per game.
 
-    ``nodes``/``actions``/``value_incs`` are ``[B, L]`` (one column per path
-    level; ``node < 0`` entries dropped). Each path level adds ``PACK`` to
-    the packed visits|child cell (a visit) and ``value_incs`` to the vsum
-    cell. The newly expanded child links by adding ``link_slot`` once to its
-    parent edge's packed cell (exact: the slot field starts at 0 and an edge
-    expands at most once). Combining everything into a single
-    ``[B, 2L+1]``-index scatter-add replaces the v2 design's two separate
-    full-array scatter passes (backup + link, each ~full stats traffic).
+    ``nodes``/``actions``/``value_incs`` are ``[B, P]`` — ALL path entries of
+    the round's descents concatenated (``P = leaf_batch * levels``;
+    ``node < 0`` entries dropped). Each path entry adds ``PACK`` to the
+    packed visits|child cell (a visit) and ``value_incs`` to the vsum cell.
+    ``link_*``/``do_link`` are ``[B, L]`` — one entry per freshly expanded
+    leaf; each links by adding its slot once to its parent edge's packed
+    cell (exact: the slot field starts at 0 and an edge expands at most once
+    — in-round duplicate selections are deduplicated by the caller).
+    Combining everything into a single ``[B, 2P+L]``-index scatter-add means
+    the per-round full-array scatter pass is paid ONCE regardless of how
+    many leaves the round expanded.
 
     An in-place Pallas kernel variant exists (``pallas_backup``, opt-in
-    via ``AZR_PALLAS_BACKUP=1``): isolated it beats this scatter ~1.8x,
-    but end-to-end it measures slower (550 vs 591 moves/s — XLA overlaps
-    the scatter with other round work); outputs are exact-equal because
-    every collision cell sums exact small integers.
+    via ``AZR_PALLAS_BACKUP=1``, single-leaf rounds only): isolated it beats
+    this scatter ~1.8x, but end-to-end it measures slower (550 vs 591
+    moves/s — XLA overlaps the scatter with other round work); outputs are
+    exact-equal because every collision cell sums exact small integers.
     """
     from . import pallas_backup
 
     batch = tree.stats.shape[0]
-    if pallas_backup.enabled(batch):
+    if link_nodes.ndim == 1:  # legacy single-leaf call shape
+        link_nodes = link_nodes[:, None]
+        link_actions = link_actions[:, None]
+        link_slots = link_slots[:, None]
+        do_link = do_link[:, None]
+    if pallas_backup.enabled(batch) and link_nodes.shape[1] == 1:
         link = jnp.stack([
-            link_node,
-            link_action,
-            jnp.where(do_link, link_slot, -1),
+            link_nodes[:, 0],
+            link_actions[:, 0],
+            jnp.where(do_link[:, 0], link_slots[:, 0], -1),
         ], axis=-1).astype(jnp.int32)
         stats = pallas_backup.backup_and_link_tpu(
             tree.stats, jnp.float32(PACK), nodes.astype(jnp.int32),
@@ -200,12 +213,12 @@ def backup_and_link(tree: Tree, nodes: jax.Array, actions: jax.Array,
     i_vis = jnp.where(ok, base + VISITS_OFF, m)
     i_val = jnp.where(ok, base + VSUM_OFF, m)
     i_link = jnp.where(do_link,
-                       link_node * STRIDE + VISITS_OFF + link_action, m)
-    idx = jnp.concatenate([i_vis, i_val, i_link[:, None]], axis=-1)
+                       link_nodes * STRIDE + VISITS_OFF + link_actions, m)
+    idx = jnp.concatenate([i_vis, i_val, i_link], axis=-1)
     upd = jnp.concatenate([
         jnp.full(nodes.shape, PACK, jnp.float32),
         value_incs,
-        _f(link_slot)[:, None] * jnp.ones((nodes.shape[0], 1), jnp.float32),
+        _f(link_slots) * jnp.ones_like(do_link, jnp.float32),
     ], axis=-1)
     stats = jax.vmap(
         lambda s, i, u: s.at[i].add(u, mode="drop"))(tree.stats, idx, upd)

@@ -86,7 +86,7 @@ def _outcome_value(final: env.EnvState, to_move: jax.Array) -> jax.Array:
 @functools.partial(
     jax.jit,
     static_argnames=("net", "num_games", "num_simulations", "max_depth",
-                     "max_moves", "compat", "num_stages"),
+                     "max_moves", "compat", "num_stages", "leaf_batch"),
 )
 def play_games(net, variables: Dict[str, Any], key: jax.Array, *,
                num_games: int, num_simulations: int, c_puct: float,
@@ -94,6 +94,7 @@ def play_games(net, variables: Dict[str, Any], key: jax.Array, *,
                temp_threshold: int, temp_init: float, temp_final: float,
                max_depth: int = 64, max_moves: int = 60,
                compat: bool = False, num_stages: int = 6,
+               leaf_batch: int = 1,
                init_states: env.EnvState | None = None) -> Trajectory:
     """Play ``num_games`` games in lockstep; one XLA program end to end.
 
@@ -116,7 +117,7 @@ def play_games(net, variables: Dict[str, Any], key: jax.Array, *,
             dirichlet_alpha=dirichlet_alpha,
             dirichlet_epsilon=dirichlet_epsilon,
             max_depth=max_depth, compat=compat, add_noise=True,
-            num_stages=num_stages)
+            num_stages=num_stages, leaf_batch=leaf_batch)
 
         temp = jnp.where(t < temp_threshold, jnp.float32(temp_init),
                          jnp.float32(temp_final))
@@ -181,6 +182,7 @@ def search_kwargs(mcts_config: MCTSConfig, sp_config: SelfPlayConfig,
         max_moves=sp_config.max_moves,
         compat=compat,
         num_stages=mcts_config.num_stages,
+        leaf_batch=mcts_config.batch_size,
     )
 
 

@@ -253,3 +253,86 @@ def test_pallas_backup_interpret_matches_scatter():
         games_per_block=8, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
                                atol=1e-5)
+
+
+# ---------------- multi-leaf expansion (MCTSConfig.batch_size) -------------
+
+@pytest.fixture(scope="module")
+def result_l4(net_and_vars):
+    net, variables = net_and_vars
+    roots = env.initial_state((B,))
+    return mcts_search.run_search(
+        net, variables, roots, jax.random.PRNGKey(1),
+        num_simulations=SIMS, c_puct=1.0, dirichlet_alpha=0.3,
+        dirichlet_epsilon=0.25, max_depth=64, leaf_batch=4)
+
+
+def test_multileaf_visit_conservation(result_l4):
+    """leaf_batch=4: every round backs up 4 leaves; totals must still equal
+    the simulation budget."""
+    np.testing.assert_array_equal(np.asarray(result_l4.tree.root_visit),
+                                  SIMS)
+    np.testing.assert_array_equal(
+        np.asarray(result_l4.visit_counts.sum(-1)), SIMS)
+
+
+def test_multileaf_only_legal_root_actions(result_l4):
+    roots = env.initial_state((B,))
+    legal = np.asarray(jax.vmap(env.legal_action_mask)(roots))
+    counts = np.asarray(result_l4.visit_counts)
+    assert (counts[~legal] == 0).all()
+    # root virtual loss must have spread the round's descents: an opening
+    # position has 4 legal moves, so with 6 rounds x 4 leaves every legal
+    # root action gets explored
+    assert (counts[legal].reshape(B, 4) > 0).all()
+
+
+def test_multileaf_links_unique_and_consistent(result_l4):
+    """No edge may be linked twice (packed child slots stay exact), and
+    every linked child's state equals stepping its parent."""
+    t = result_l4.tree
+    children = np.asarray(tree_lib.children_index(t))  # [B, N, A]
+    states = tree_lib.node_states(t)
+    for b in range(B):
+        linked = children[b][children[b] > 0]
+        assert len(linked) == len(set(linked.tolist())), \
+            "a slot was linked from two edges"
+        assert (linked <= SIMS).all()
+    # spot-check child state consistency at the root
+    root_children = children[:, 0]
+    for b in range(B):
+        root_state = jax.tree_util.tree_map(lambda x: x[b, 0], states)
+        for a in range(64):
+            c = root_children[b, a]
+            if c <= 0:
+                continue
+            stepped, valid = env.step(root_state, jnp.int32(a))
+            assert bool(valid)
+            assert int(u64.to_int(stepped.black)) == u64.to_int(
+                jax.tree_util.tree_map(lambda x: x[b, c], states).black)
+
+
+def test_multileaf_rejects_indivisible_sims(net_and_vars):
+    net, variables = net_and_vars
+    roots = env.initial_state((B,))
+    with pytest.raises(ValueError):
+        mcts_search.run_search(
+            net, variables, roots, jax.random.PRNGKey(1),
+            num_simulations=10, c_puct=1.0, dirichlet_alpha=0.3,
+            dirichlet_epsilon=0.25, leaf_batch=4)
+
+
+def test_multileaf_staged_matches_unstaged(net_and_vars):
+    """Staged capacity growth must stay bit-identical under multi-leaf."""
+    net, variables = net_and_vars
+    roots = env.initial_state((B,))
+    kwargs = dict(num_simulations=SIMS, c_puct=1.0, dirichlet_alpha=0.3,
+                  dirichlet_epsilon=0.25, max_depth=64, leaf_batch=4)
+    a = mcts_search.run_search(net, variables, roots, jax.random.PRNGKey(2),
+                               num_stages=1, **kwargs)
+    c = mcts_search.run_search(net, variables, roots, jax.random.PRNGKey(2),
+                               num_stages=3, **kwargs)
+    np.testing.assert_array_equal(np.asarray(a.visit_counts),
+                                  np.asarray(c.visit_counts))
+    np.testing.assert_allclose(np.asarray(a.root_value),
+                               np.asarray(c.root_value), rtol=1e-6)
