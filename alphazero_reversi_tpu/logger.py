@@ -70,6 +70,31 @@ class Logger:
         if self.writer is not None:
             self.writer.add_histogram(tag, values, step)
 
+    def log_embedding(self, tag: str, embedding, metadata=None,
+                      label_img=None, step: int = 0) -> None:
+        """Embeddings to the TB projector (logger.py:101-120 analog;
+        ``embedding`` is any [N, D] array — e.g. flattened value-head
+        activations of replay positions)."""
+        if self.writer is not None:
+            import numpy as np
+            self.writer.add_embedding(
+                np.asarray(embedding), metadata=metadata,
+                label_img=label_img, tag=tag, global_step=step)
+
+    def log_model_graph(self, graph_text: str) -> None:
+        """Model structure to TB (logger.py:127-130 analog). Torch traces
+        ``add_graph``; the JAX equivalent of a traced module graph is the
+        tabulated Flax module summary (layers, shapes, param counts) —
+        logged as text and written to ``model_graph.txt`` in the run dir."""
+        with open(os.path.join(self.run_dir, "model_graph.txt"), "w") as f:
+            f.write(graph_text)
+        self.log_text("model/graph", f"```\n{graph_text}\n```")
+
+    def log_learning_rate(self, lr: float, step: int) -> None:
+        """LR scalar (logger.py:132-136 analog; one optimizer group)."""
+        if self.writer is not None:
+            self.writer.add_scalar("lr/group_0", float(lr), step)
+
     def log_text(self, tag: str, text: str, step: int = 0) -> None:
         if self.writer is not None:
             self.writer.add_text(tag, text, step)

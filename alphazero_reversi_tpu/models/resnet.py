@@ -165,3 +165,15 @@ def masked_policy(logits: jax.Array, legal_mask: jax.Array) -> jax.Array:
     probs = jax.nn.softmax(masked, axis=-1)
     uniform = jnp.ones_like(probs) / probs.shape[-1]
     return jnp.where(any_legal, probs, uniform)
+
+
+def tabulate_network(net: AlphaZeroNet, batch_size: int = 1) -> str:
+    """Human-readable module table (layers, shapes, param counts) — the JAX
+    analog of TensorBoard's traced model graph
+    (/root/reference/src/logger.py:127-130 ``add_graph``)."""
+    dummy = jnp.zeros((batch_size, net.board_size, net.board_size, 3),
+                      jnp.float32)
+    return nn.tabulate(
+        net, jax.random.PRNGKey(0),
+        console_kwargs={"width": 120, "force_terminal": False},
+    )(dummy, train=False)

@@ -130,6 +130,12 @@ class AlphaZeroPipeline:
             use_tensorboard=config.logging.use_tensorboard,
             verbose=config.logging.verbose)
         self.logger.log_config(config.to_dict())
+        # model-graph analog (reference: Logger.log_model_graph,
+        # src/logger.py:127-130): the tabulated Flax module summary
+        try:
+            self.logger.log_model_graph(resnet.tabulate_network(self.net))
+        except Exception as e:  # tabulate needs rich; never block training
+            self.logger.warning("model summary unavailable: %s", e)
         if self.num_devices > 1:
             self.logger.info("data-parallel over %d devices (mesh %s)",
                              self.num_devices, dict(self.mesh.shape))
@@ -259,6 +265,22 @@ class AlphaZeroPipeline:
                 "eval/random_elo": board["random"],
                 "eval/promoted": float(promoted)}
 
+    def _log_replay_embedding(self, step: int, n: int = 256) -> None:
+        """TB-projector embedding of a replay sample (reference
+        Logger.log_embedding capability, src/logger.py:101-120): flattened
+        canonical planes of up to ``n`` buffered positions, labeled by their
+        value target. Skipped when TensorBoard is off or the buffer is
+        empty."""
+        if not self.config.logging.use_tensorboard or not int(self.buffer.size):
+            return
+        self.key, k = jax.random.split(self.key)
+        planes, _, value = replay_lib.sample(
+            self.buffer, k, min(n, int(self.buffer.size)))
+        flat = np.asarray(planes).reshape(planes.shape[0], -1)
+        labels = [f"v={v:+.2f}" for v in np.asarray(value)]
+        self.logger.log_embedding("replay/positions", flat,
+                                  metadata=labels, step=step)
+
     # -- main loop ----------------------------------------------------------
     def train(self, num_iterations: Optional[int] = None) -> None:
         """Run the training loop (pipeline.py:114-150)."""
@@ -293,12 +315,16 @@ class AlphaZeroPipeline:
                 }
                 self.metrics_history.append(metrics)
                 self.logger.log_metrics(metrics, it)
+                # per-group LR scalar (reference Logger.log_learning_rate,
+                # src/logger.py:132-136; optax has one param group)
+                self.logger.log_learning_rate(metrics["train/lr"], it)
 
                 self.iteration = it + 1
                 if (self.config.logging.save_checkpoints
                         and self.iteration
                         % self.config.training.save_interval == 0):
                     self.save_checkpoint()
+                    self._log_replay_embedding(it)
         except KeyboardInterrupt:
             # save-on-interrupt (pipeline.py:146-147, run.py:84-89)
             self.logger.warning("interrupted — saving checkpoint")
