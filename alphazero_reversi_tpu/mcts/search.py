@@ -181,79 +181,98 @@ def run_search(net, variables: Dict[str, Any], root_states: env.EnvState,
         root_vsum = root_srow[:, tree_lib.VSUM_OFF:tree_lib.VSUM_OFF + A]
         root_extra = jnp.zeros((batch, A), jnp.float32)
 
-        descents = []  # per descent: (pn, pa, sign-source to_move, leaf, act, eval_row)
+        # ---- select, root phase: sequential in L, pure VPU math --------
+        # In-round virtual loss only ever applies at the ROOT (the root is
+        # a static slice, its stats frozen for the round), so the only
+        # lane-to-lane dependency is the root pick. Resolve the L root
+        # actions sequentially — cheap [B, A] arithmetic, no gathers —
+        # then run all L descents below the root in lockstep as one
+        # [B, L]-lane program: each deeper level costs ONE batched gather
+        # of L rows per game instead of L separate gather passes
+        # (per-game multi-row gathers are sub-linear in L on TPU; the
+        # L-sequential form made flagship leaf_batch=4 SLOWER than
+        # leaf_batch=1, roofline_tpu.json).
+        a0s, child0s = [], []
         for l in range(L):
-            node = jnp.zeros((batch,), jnp.int32)
-            alive = jnp.ones((batch,), jnp.bool_)
-            leaf = jnp.zeros((batch,), jnp.int32)
-            leaf_action = jnp.full((batch,), -1, jnp.int32)
-            eval_row = root_row  # root never changes mid-search
-            path_nodes, path_actions, path_tomove = [], [], []
+            # virtual loss: pending in-round root visits count as visits
+            # that returned a loss
+            visits = root_visits + root_extra
+            vsum = root_vsum - root_extra
+            q = jnp.where(visits > 0, vsum / jnp.maximum(visits, 1.0), 0.0)
+            parent_visit = visits.sum(-1, keepdims=True) + 1.0
+            score = q + c * root_p * jnp.sqrt(parent_visit) / (1.0 + visits)
+            score = jnp.where(root_lg, score, -jnp.inf)
+            a = jnp.argmax(score, -1).astype(jnp.int32)
+            # column pick via one-hot multiply-sum: a take_along_axis here
+            # is a dynamic-index op costing ~27 us/level on TPU (profiled);
+            # the one-hot form is pure VPU work
+            onehot_a = jax.nn.one_hot(a, A, dtype=jnp.float32)
+            root_extra = root_extra + jnp.where(~root_done[:, None],
+                                                onehot_a, 0.0)
+            a0s.append(a)
+            child0s.append((root_child * onehot_a).sum(-1).astype(jnp.int32))
+        a0 = jnp.stack(a0s, -1)          # [B, L]
+        child0 = jnp.stack(child0s, -1)  # [B, L]
 
-            for level in range(levels):
-                if level == 0:
-                    row = root_row
-                    p, lg = root_p, root_lg
-                    done_n, tomove_n = root_done, root_tomove
-                    # virtual loss: pending in-round root visits count as
-                    # visits that returned a loss
-                    visits = root_visits + root_extra
-                    vsum = root_vsum - root_extra
-                    child = root_child
-                else:
-                    row, srow = tree_lib.gather_node(trees, node)
-                    p, lg = tree_lib.decode_prior_legal(row)
-                    done_n = row[:, tree_lib.S_DONE] > 0.5
-                    tomove_n = row[:, tree_lib.S_TO_MOVE]
-                    packed = srow[:, tree_lib.VISITS_OFF:
-                                  tree_lib.VISITS_OFF + A]
-                    visits, child = tree_lib.unpack_visits_child(packed)
-                    vsum = srow[:, tree_lib.VSUM_OFF:tree_lib.VSUM_OFF + A]
+        # level-0 lane state ([B, L] throughout)
+        can0 = jnp.broadcast_to(~root_done[:, None], a0.shape)
+        found = can0 & (child0 == 0)
+        finishing = found | ~can0  # ~can0 == done root == hit_terminal
+        path_nodes = [jnp.where(can0, 0, -1).astype(jnp.int32)]
+        path_actions = [jnp.where(can0, a0, 0)]
+        path_tomove = [jnp.broadcast_to(root_tomove[:, None], a0.shape)]
+        leaf = jnp.zeros_like(a0)
+        leaf_action = jnp.where(found, a0, -1)
+        eval_row = jnp.broadcast_to(root_row[:, None, :],
+                                    (batch, L, root_row.shape[-1]))
+        alive = ~finishing
+        node = jnp.where(alive, child0, 0)
 
-                q = jnp.where(visits > 0, vsum / jnp.maximum(visits, 1.0),
-                              0.0)
-                parent_visit = visits.sum(-1, keepdims=True) + 1.0
-                score = q + c * p * jnp.sqrt(parent_visit) / (1.0 + visits)
-                score = jnp.where(lg, score, -jnp.inf)
-                a = jnp.argmax(score, -1).astype(jnp.int32)
-                # column pick via one-hot multiply-sum: a take_along_axis
-                # here is a dynamic-index op costing ~27 us/level on TPU
-                # (profiled); the one-hot form is pure VPU work
-                onehot_a = jax.nn.one_hot(a, A, dtype=jnp.float32)
-                child_idx = (child * onehot_a).sum(-1).astype(jnp.int32)
+        # ---- select, deep phase: all L lanes in lockstep ---------------
+        for level in range(1, levels):
+            row, srow = tree_lib.gather_node(trees, node)  # [B, L, K/S]
+            p, lg = tree_lib.decode_prior_legal(row)
+            done_n = row[..., tree_lib.S_DONE] > 0.5
+            tomove_n = row[..., tree_lib.S_TO_MOVE]
+            packed = srow[..., tree_lib.VISITS_OFF:tree_lib.VISITS_OFF + A]
+            visits, child = tree_lib.unpack_visits_child(packed)
+            vsum = srow[..., tree_lib.VSUM_OFF:tree_lib.VSUM_OFF + A]
 
-                can_step = alive & ~done_n
-                found = can_step & (child_idx == 0)
-                hit_terminal = alive & done_n
-                path_nodes.append(jnp.where(can_step, node, -1))
-                path_actions.append(jnp.where(can_step, a, 0))
-                path_tomove.append(tomove_n)
-                if level == 0:
-                    root_extra = root_extra + jnp.where(
-                        can_step[:, None], onehot_a, 0.0)
+            q = jnp.where(visits > 0, vsum / jnp.maximum(visits, 1.0), 0.0)
+            parent_visit = visits.sum(-1, keepdims=True) + 1.0
+            score = q + c * p * jnp.sqrt(parent_visit) / (1.0 + visits)
+            score = jnp.where(lg, score, -jnp.inf)
+            a = jnp.argmax(score, -1).astype(jnp.int32)
+            onehot_a = jax.nn.one_hot(a, A, dtype=jnp.float32)
+            child_idx = (child * onehot_a).sum(-1).astype(jnp.int32)
 
-                finishing = found | hit_terminal
-                eval_row = jnp.where(finishing[:, None], row, eval_row)
-                leaf = jnp.where(found, node, leaf)
-                leaf_action = jnp.where(found, a, leaf_action)
-                alive = alive & ~finishing
-                node = jnp.where(alive, child_idx, node)
+            can_step = alive & ~done_n
+            found = can_step & (child_idx == 0)
+            hit_terminal = alive & done_n
+            path_nodes.append(jnp.where(can_step, node, -1))
+            path_actions.append(jnp.where(can_step, a, 0))
+            path_tomove.append(tomove_n)
 
-            # depth-truncated lanes evaluate the node they reached (no
-            # expansion)
-            trow, _ = tree_lib.gather_node(trees, node)
-            eval_row = jnp.where(alive[:, None], trow, eval_row)
-            descents.append((jnp.stack(path_nodes, -1),
-                             jnp.stack(path_actions, -1),
-                             jnp.stack(path_tomove, -1),
-                             leaf, leaf_action, eval_row))
+            finishing = found | hit_terminal
+            eval_row = jnp.where(finishing[..., None], row, eval_row)
+            leaf = jnp.where(found, node, leaf)
+            leaf_action = jnp.where(found, a, leaf_action)
+            alive = alive & ~finishing
+            node = jnp.where(alive, child_idx, node)
 
-        pn = jnp.concatenate([d[0] for d in descents], -1)  # [B, L*levels]
-        pa = jnp.concatenate([d[1] for d in descents], -1)
-        pt = jnp.concatenate([d[2] for d in descents], -1)
-        leaves = jnp.stack([d[3] for d in descents], -1)     # [B, L]
-        leaf_acts = jnp.stack([d[4] for d in descents], -1)  # [B, L]
-        eval_rows = jnp.stack([d[5] for d in descents], 1)   # [B, L, K]
+        # depth-truncated lanes evaluate the node they reached (no
+        # expansion)
+        trow, _ = tree_lib.gather_node(trees, node)
+        eval_row = jnp.where(alive[..., None], trow, eval_row)
+
+        # [B, L, levels] -> [B, L*levels], lane-major (descent l's levels
+        # contiguous — the ordering the backup sign/repeat logic assumes)
+        pn = jnp.stack(path_nodes, -1).reshape(batch, L * levels)
+        pa = jnp.stack(path_actions, -1).reshape(batch, L * levels)
+        pt = jnp.stack(path_tomove, -1).reshape(batch, L * levels)
+        leaves = leaf            # [B, L]
+        leaf_acts = leaf_action  # [B, L]
+        eval_rows = eval_row     # [B, L, K]
 
         # ---------------- evaluate all L*B leaves at once ---------------
         base_state = tree_lib.unpack_state(

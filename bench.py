@@ -1,18 +1,24 @@
 #!/usr/bin/env python
-"""Headline benchmark: raw env stepping throughput on one chip.
+"""Headline benchmark: env stepping + flagship MCTS throughput on one chip.
 
 Prints exactly ONE JSON line on stdout:
 ``{"metric": "env_steps_per_s", "value": N, "unit": "steps/s/chip",
-"vs_baseline": N}`` where ``vs_baseline`` is the ratio to the driver-set
-north-star target of 1M env-steps/s/chip (BASELINE.md — the reference itself
-publishes no numbers; its own harness, a 100k-move greedy loop over the
-Python board, measures the same quantity, /root/reference/
-test_cython_performance_fixed.py:10-46).
+"vs_baseline": N, "mcts_moves_per_s": N, "mcts_vs_baseline": N}`` where
+``vs_baseline`` is the ratio to the driver-set north-star target of 1M
+env-steps/s/chip, and ``mcts_*`` tracks the flagship search operating point
+(B=1024 games, 400 sims/move, 5x128 bf16 net) against the 50k moves/s/chip
+target (BASELINE.md — the reference itself publishes no numbers; its own
+harnesses measure the same quantities: /root/reference/
+test_cython_performance_fixed.py:10-46 for env stepping and
+/root/reference/src/mcts/MCTS_benchmark.py:101-191 for search throughput;
+measured locally they give 10.5k env-moves/s and 2.0 MCTS moves/s,
+refbench/reference_measurements.json).
 
-Method: a jitted ``lax.scan`` stepping a large batch of boards with a
+Method: env — a jitted ``lax.scan`` stepping a large batch of boards with a
 pseudo-random legal placement each step, resetting finished games in place so
-every step is live work. Diagnostics go to stderr; stdout carries only the
-JSON line.
+every step is live work. MCTS — one compiled ``run_search`` over 1024 fresh
+boards, moves/s = 1024 / best search wall time. Diagnostics go to stderr;
+stdout carries only the JSON line.
 """
 from __future__ import annotations
 
@@ -26,6 +32,7 @@ import jax.numpy as jnp
 from alphazero_reversi_tpu.env import bitboard as env
 
 NORTH_STAR = 1_000_000.0  # env-steps/s/chip (BASELINE.md target)
+MCTS_NORTH_STAR = 50_000.0  # MCTS-guided moves/s/chip (BASELINE.md target)
 
 
 def build_bench(batch: int, steps: int):
@@ -75,16 +82,34 @@ def bench_env_steps(batch: int = 8192, steps: int = 512,
     return batch * steps / best
 
 
+def bench_mcts_moves(batch: int = 1024, sims: int = 400,
+                     leaf_batch: int = 8) -> float:
+    """Flagship search throughput: moves/s at B games, 400 sims, 5x128 bf16
+    (the operating point PERF.md's roofline table tracks). ``leaf_batch``
+    defaults to the measured-best multi-leaf setting."""
+    import os
+
+    from alphazero_reversi_tpu.benchmarks import bench_mcts
+
+    leaf_batch = int(os.environ.get("AZR_BENCH_LEAF_BATCH", leaf_batch))
+    row = bench_mcts([batch], num_simulations=sims, leaf_batch=leaf_batch)[0]
+    return row["moves_per_s"]
+
+
 def main() -> int:
     dev = jax.devices()[0]
     print(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}",
           file=sys.stderr)
     value = bench_env_steps()
+    print(f"env_steps_per_s: {value:.0f}", file=sys.stderr)
+    mcts = bench_mcts_moves()
     print(json.dumps({
         "metric": "env_steps_per_s",
         "value": round(value, 1),
         "unit": "steps/s/chip",
         "vs_baseline": round(value / NORTH_STAR, 4),
+        "mcts_moves_per_s": round(mcts, 1),
+        "mcts_vs_baseline": round(mcts / MCTS_NORTH_STAR, 4),
     }))
     return 0
 
