@@ -118,6 +118,11 @@ class TrainingConfig:
     policy_loss: str = "soft"
     replay_capacity: int = 200_000  # device-resident replay buffer positions
     train_on_latest_only: bool = False  # True = reference behavior (no replay)
+    # Random dihedral-8 augmentation of sampled positions (symmetry.py, the
+    # living replacement for the reference's dead symmetry-hash machinery,
+    # mcts.py:369-383). Off by default: compat-mode rules are not
+    # D4-equivariant and the default pipeline stays reference-matched.
+    augment_symmetries: bool = False
 
 
 @dataclass

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from . import symmetry
 from .config import TrainingConfig
 from .models import resnet
 
@@ -97,8 +98,15 @@ def variables_of(state: TrainState) -> Dict[str, Any]:
 
 def loss_fn(net, params, batch_stats, planes: jax.Array, policy_tgt: jax.Array,
             value_tgt: jax.Array, *, policy_loss: str, policy_weight: float,
-            value_weight: float, dropout_rng: Optional[jax.Array] = None):
+            value_weight: float, dropout_rng: Optional[jax.Array] = None,
+            augment_symmetries: bool = False):
     """Combined loss -> (total, (aux dict, new batch_stats))."""
+    if augment_symmetries:
+        if dropout_rng is None:
+            raise ValueError("augment_symmetries=True requires an rng")
+        sym_rng, dropout_rng = jax.random.split(dropout_rng)
+        planes, policy_tgt = symmetry.augment(sym_rng, planes, policy_tgt)
+        # value targets are symmetry-invariant
     (logits, value), mutated = resnet.apply_train(
         net, {"params": params, "batch_stats": batch_stats}, planes,
         dropout_rng=dropout_rng)
@@ -121,14 +129,14 @@ def loss_fn(net, params, batch_stats, planes: jax.Array, policy_tgt: jax.Array,
 @functools.partial(
     jax.jit,
     static_argnames=("net", "tx", "policy_loss", "policy_weight",
-                     "value_weight"),
+                     "value_weight", "augment_symmetries"),
     donate_argnames=("state",),
 )
 def train_step(net, tx, state: TrainState, planes: jax.Array,
                policy_tgt: jax.Array, value_tgt: jax.Array,
                dropout_rng: Optional[jax.Array] = None, *,
                policy_loss: str = "soft", policy_weight: float = 1.0,
-               value_weight: float = 1.0
+               value_weight: float = 1.0, augment_symmetries: bool = False
                ) -> Tuple[TrainState, Dict[str, jax.Array]]:
     """One SGD step. ``state`` is donated (updated in place in HBM)."""
     grad_fn = jax.value_and_grad(
@@ -136,7 +144,8 @@ def train_step(net, tx, state: TrainState, planes: jax.Array,
                           value_tgt, policy_loss=policy_loss,
                           policy_weight=policy_weight,
                           value_weight=value_weight,
-                          dropout_rng=dropout_rng),
+                          dropout_rng=dropout_rng,
+                          augment_symmetries=augment_symmetries),
         has_aux=True)
     (_, (aux, new_batch_stats)), grads = grad_fn(state.params)
     updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
@@ -171,5 +180,6 @@ class Learner:
             dropout_rng,
             policy_loss=self.cfg.policy_loss,
             policy_weight=self.cfg.policy_loss_weight,
-            value_weight=self.cfg.value_loss_weight)
+            value_weight=self.cfg.value_loss_weight,
+            augment_symmetries=self.cfg.augment_symmetries)
         return aux

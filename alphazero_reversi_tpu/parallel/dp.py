@@ -60,7 +60,8 @@ def sharded_play_games(net, variables: Dict[str, Any], key: jax.Array,
 
 def make_dp_train_step(net, tx: optax.GradientTransformation, mesh: Mesh, *,
                        policy_loss: str = "soft", policy_weight: float = 1.0,
-                       value_weight: float = 1.0):
+                       value_weight: float = 1.0,
+                       augment_symmetries: bool = False):
     """Build a jitted DP train step: grads/BN stats pmean'd over ``data``.
 
     Returned signature: ``(state, planes, policy_tgt, value_tgt, rng)
@@ -76,7 +77,8 @@ def make_dp_train_step(net, tx: optax.GradientTransformation, mesh: Mesh, *,
             lambda p: learner_lib.loss_fn(
                 net, p, state.batch_stats, planes, policy_tgt, value_tgt,
                 policy_loss=policy_loss, policy_weight=policy_weight,
-                value_weight=value_weight, dropout_rng=rng),
+                value_weight=value_weight, dropout_rng=rng,
+                augment_symmetries=augment_symmetries),
             has_aux=True)
         (_, (aux, new_batch_stats)), grads = grad_fn(state.params)
         grads = jax.lax.pmean(grads, mesh_lib.DATA_AXIS)
@@ -113,7 +115,8 @@ class DPTrainer:
         self._step = make_dp_train_step(
             net, self.tx, mesh, policy_loss=cfg.policy_loss,
             policy_weight=cfg.policy_loss_weight,
-            value_weight=cfg.value_loss_weight)
+            value_weight=cfg.value_loss_weight,
+            augment_symmetries=cfg.augment_symmetries)
 
     @property
     def variables(self) -> Dict[str, Any]:

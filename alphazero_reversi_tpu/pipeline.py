@@ -203,6 +203,7 @@ class AlphaZeroPipeline:
         num_batches = max(1, math.ceil(sp_cfg.num_games
                                        / sp_cfg.num_parallel_games))
         new_positions = 0
+        total_slots = 0
         for b in range(num_batches):
             self.key, sp_key = jax.random.split(self.key)
             if self.num_devices > 1:
@@ -223,6 +224,10 @@ class AlphaZeroPipeline:
             self.buffer = replay_lib.add(self.buffer, planes, policy, value,
                                          valid)
             new_positions += int(valid.sum())
+            total_slots += int(valid.size)
+        # lockstep waste visibility: fraction of searched (slot, game) cells
+        # that were live games (PERF.md "self-play tail" note)
+        self._last_live_fraction = new_positions / max(1, total_slots)
         return new_positions
 
     def _train_epoch(self, num_positions: int) -> Dict[str, float]:
@@ -307,6 +312,7 @@ class AlphaZeroPipeline:
                         self.learner.state),
                     "train/grad_norm": train_metrics["grad_norm"],
                     "selfplay/positions": n_new,
+                    "selfplay/live_fraction": self._last_live_fraction,
                     "selfplay/seconds": t_sp - t0,
                     "train/seconds": t_tr - t_sp,
                     "eval/seconds": t_ev - t_tr,

@@ -106,9 +106,8 @@ def play_games(net, variables: Dict[str, Any], key: jax.Array, *,
     states = (init_states if init_states is not None
               else env.initial_state((num_games,)))
 
-    def move_step(carry, xs):
-        states, key = carry
-        t, step_key = xs
+    def live_step(operand):
+        states, t, step_key = operand
         search_key, sample_key = jax.random.split(step_key)
 
         result = search_lib.run_search(
@@ -135,6 +134,34 @@ def play_games(net, variables: Dict[str, Any], key: jax.Array, *,
         new_states = jax.tree_util.tree_map(
             lambda new, old: jnp.where(states.done, old, new),
             new_states, states)
+        return new_states, record
+
+    def dead_step(operand):
+        # every game finished: skip the search entirely. Records are
+        # padding (valid=False) — training masks them — so zeros suffice.
+        states, t, step_key = operand
+        b = states.done.shape[0]
+        record = (jnp.zeros((b, 8, 8, 3), jnp.float32),
+                  jnp.zeros((b, env.NUM_ACTIONS), jnp.float32),
+                  states.to_move,
+                  jnp.zeros((b,), jnp.bool_),
+                  jnp.full((b,), -1, jnp.int32))
+        return states, record
+
+    def move_step(carry, xs):
+        states, key = carry
+        t, step_key = xs
+        # batch-global tail skip: once ALL games are done, a slot costs one
+        # reduction + branch instead of a full search. With Reversi's ~60-ply
+        # games and max_moves=60 this fires rarely at large B (some game
+        # almost always lasts the full 60 slots); it matters for
+        # max_moves > 60 configs and small eval batches. Intra-slot waste
+        # (search over games already done mid-batch) is tracked by the
+        # selfplay/live_fraction metric instead — compaction would need
+        # dynamic shapes.
+        new_states, record = jax.lax.cond(
+            jnp.any(~states.done), live_step, dead_step,
+            (states, t, step_key))
         return (new_states, key), record
 
     step_keys = jax.random.split(key, max_moves)

@@ -118,3 +118,30 @@ def test_flatten_masks_padding(traj):
         jax.tree_util.tree_map(jnp.asarray, traj))
     assert planes.shape[0] == 60 * GAMES
     assert int(valid.sum()) == int(traj.valid.sum())
+
+
+def test_tail_slots_beyond_game_end_are_skipped(net_and_vars):
+    """With max_moves beyond every game's length, the all-done tail slots
+    (served by the lax.cond dead branch — no search) are pure padding and
+    the shared prefix is bit-identical to the max_moves=60 run."""
+    net, variables = net_and_vars
+    kwargs = dict(num_games=2, num_simulations=8, c_puct=1.0,
+                  dirichlet_alpha=0.3, dirichlet_epsilon=0.25,
+                  temp_threshold=4, temp_init=1.0, temp_final=0.1)
+    short = selfplay.play_games(net, variables, jax.random.PRNGKey(3),
+                                max_moves=60, **kwargs)
+    # same per-slot key stream for the first 60 slots requires the same
+    # split count; play_games splits once per slot, so compare runs whose
+    # prefixes share the fold-in structure: key splits are derived from the
+    # SAME top-level key independent of max_moves.
+    long = selfplay.play_games(net, variables, jax.random.PRNGKey(3),
+                               max_moves=66, **kwargs)
+    assert bool(np.asarray(long.final_state.done).all())
+    # all 6 extra slots lie beyond every game's end: padding only
+    tail_valid = np.asarray(long.valid)[60:]
+    assert not tail_valid.any()
+    assert (np.asarray(long.actions)[60:] == -1).all()
+    np.testing.assert_array_equal(np.asarray(long.final_state.black.lo),
+                                  np.asarray(short.final_state.black.lo))
+    np.testing.assert_array_equal(np.asarray(long.final_state.white.lo),
+                                  np.asarray(short.final_state.white.lo))
