@@ -153,7 +153,7 @@ def run_search(net, variables: Dict[str, Any], root_states: env.EnvState,
     c = jnp.float32(c_puct)
     # a path cannot be longer than the expansions that built it, nor than
     # the number of stones the board can still take
-    levels = max(1, min(max_depth, num_simulations, 60))
+    levels_cap = max(1, min(max_depth, num_simulations, 60))
 
     # --- root evaluation + install -------------------------------------
     prior, _, legal = _evaluate(net, variables, root_states, compat)
@@ -171,7 +171,17 @@ def run_search(net, variables: Dict[str, Any], root_states: env.EnvState,
     root_tomove = root_row[:, tree_lib.S_TO_MOVE]
     S = tree_lib.STRIDE
 
-    def sim_round(r, trees):
+    def make_sim_round(levels):
+      # Depth-staged select: before round r the tree holds r rounds of
+      # expansions, every one of which attaches to a pre-existing node, so
+      # no node sits deeper than level r and a round-r descent needs at
+      # most r+1 select iterations. Each capacity stage therefore unrolls
+      # only ``min(levels_cap, last_round_of_stage + 1)`` levels — the
+      # iterations dropped were provably dead (every lane already
+      # finished), so results are bit-identical while early stages (and
+      # entire low-simulation searches) skip most of the per-level
+      # dynamic-index costs.
+      def sim_round(r, trees):
         # root edge stats: a STATIC slice (node 0) — no gather; constant
         # within the round, adjusted per descent by the in-round virtual
         # visits ``root_extra``
@@ -322,11 +332,15 @@ def run_search(net, variables: Dict[str, Any], root_states: env.EnvState,
             root_vsum=trees.root_vsum + (rsign * value_bl).sum(-1),
         )
 
+      return sim_round
+
     start = 0
     for end in bounds:
         if start > 0:
             trees = _grow_tree(trees, end * L + 1)
-        trees = jax.lax.fori_loop(start, end, sim_round, trees)
+        # last round of this stage is end-1 -> needs at most `end` levels
+        trees = jax.lax.fori_loop(
+            start, end, make_sim_round(max(1, min(levels_cap, end))), trees)
         start = end
 
     visit_counts = tree_lib.root_visit_counts(trees)
