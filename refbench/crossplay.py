@@ -93,6 +93,12 @@ class RefAgent:
                                  num_filters=128)
         if model_path:
             state = torch.load(model_path, map_location="cpu")
+            # the reference auto-JITs on eval() and may save the scripted
+            # module's state dict; strip the prefix exactly as its own
+            # loaders do (/root/reference/src/mcts/mcts.py:458-482)
+            state = {(k[len("_script_module."):]
+                      if k.startswith("_script_module.") else k): v
+                     for k, v in state.items()}
             model.load_state_dict(state)
         model.eval()
         self._mcts_cls = RefMCTS
