@@ -139,6 +139,64 @@ def bench_mcts(batch_sizes: Optional[List[int]] = None,
     return results
 
 
+def bench_mcts_sustained(batch: int = 1024, num_simulations: int = 400,
+                         moves: int = 8, num_res_blocks: int = 5,
+                         num_filters: int = 128, repeats: int = 3,
+                         compute_dtype: str = "bfloat16",
+                         leaf_batch: int = 1, num_stages: int = 6
+                         ) -> Dict[str, float]:
+    """Sustained MCTS-guided moves/s: ``moves`` consecutive search+step
+    decisions inside ONE compiled program (the self-play inner loop,
+    selfplay.play_games:151, with finished boards reset in place so every
+    slot is live work), fetched once at the end.
+
+    ``bench_mcts`` times a single ``run_search`` dispatch, which through
+    the axon relay carries ~40-60 ms of fixed per-call latency (PERF.md
+    pitfall 3) — negligible at the flagship point (~1.2 s/search) but
+    dominant at fast operating points (tiny net / 32 sims ≈ 20-70 ms
+    on-chip). Deployment amortizes that latency exactly like this loop
+    does (self-play scans all move slots in one program), so this is the
+    honest per-chip number for the >=50k moves/s/chip north star.
+    """
+    cfg = ModelConfig(num_res_blocks=num_res_blocks, num_filters=num_filters,
+                      compute_dtype=compute_dtype)
+    net = resnet.build_network(cfg)
+    variables = resnet.init_variables(net, jax.random.PRNGKey(0))
+    fresh = env.initial_state((batch,))
+
+    @jax.jit
+    def run(key):
+        def body(states, k):
+            sk, ak = jax.random.split(k)
+            result = search_lib.run_search(
+                net, variables, states, sk,
+                num_simulations=num_simulations, c_puct=1.0,
+                dirichlet_alpha=0.3, dirichlet_epsilon=0.25,
+                num_stages=num_stages, leaf_batch=leaf_batch)
+            probs = search_lib.probs_with_temperature(
+                result.visit_counts, jnp.float32(1.0))
+            actions = search_lib.sample_actions(ak, probs)
+            ns, _ = env.step(states, actions)
+            ns = jax.tree_util.tree_map(
+                lambda f, n: jnp.where(ns.done, f, n), fresh, ns)
+            return ns, None
+
+        keys = jax.random.split(key, moves)
+        final, _ = jax.lax.scan(body, fresh, keys)
+        return final.black
+
+    best = _timeit(lambda k: run(k), repeats=repeats)
+    return {
+        "batch": batch,
+        "num_simulations": num_simulations,
+        "leaf_batch": leaf_batch,
+        "moves_in_program": moves,
+        "time_per_move_s": best / moves,
+        "moves_per_s": batch * moves / best,
+        "nodes_per_s": batch * moves * num_simulations / best,
+    }
+
+
 def bench_nn_forward(batch: int, num_res_blocks: int, num_filters: int,
                      compute_dtype: str = "bfloat16", steps: int = 64,
                      repeats: int = 3) -> float:
@@ -348,6 +406,16 @@ def main(argv: Optional[List[str]] = None) -> int:
     m.add_argument("--leaf-batch", type=int, default=1)
     m.add_argument("--stages", type=int, default=6)
 
+    ms = sub.add_parser("mcts-sustained")
+    ms.add_argument("--batch", type=int, default=1024)
+    ms.add_argument("--sims", type=int, default=400)
+    ms.add_argument("--moves", type=int, default=8)
+    ms.add_argument("--blocks", type=int, default=5)
+    ms.add_argument("--filters", type=int, default=128)
+    ms.add_argument("--dtype", default="bfloat16")
+    ms.add_argument("--leaf-batch", type=int, default=1)
+    ms.add_argument("--stages", type=int, default=6)
+
     r = sub.add_parser("roofline")
     r.add_argument("--batch", type=int, default=1024)
     r.add_argument("--sims", type=int, nargs="+", default=None)
@@ -375,6 +443,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                               leaf_batch=args.leaf_batch,
                               num_stages=args.stages):
             print(json.dumps(row))
+    elif args.command == "mcts-sustained":
+        print(json.dumps(bench_mcts_sustained(
+            args.batch, args.sims, args.moves, args.blocks, args.filters,
+            compute_dtype=args.dtype, leaf_batch=args.leaf_batch,
+            num_stages=args.stages), indent=2))
     elif args.command == "roofline":
         print(json.dumps(bench_roofline(args.batch, args.sims,
                                         args.leaf_batches), indent=2))

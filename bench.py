@@ -3,11 +3,13 @@
 
 Prints exactly ONE JSON line on stdout:
 ``{"metric": "env_steps_per_s", "value": N, "unit": "steps/s/chip",
-"vs_baseline": N, "mcts_moves_per_s": N, "mcts_vs_baseline": N}`` where
-``vs_baseline`` is the ratio to the driver-set north-star target of 1M
-env-steps/s/chip, and ``mcts_*`` tracks the flagship search operating point
-(B=1024 games, 400 sims/move, 5x128 bf16 net) against the 50k moves/s/chip
-target (BASELINE.md — the reference itself publishes no numbers; its own
+"vs_baseline": N, "mcts_moves_per_s": N, "mcts_vs_baseline": N,
+"mcts_peak_moves_per_s": N, ...}`` where ``vs_baseline`` is the ratio to
+the driver-set north-star target of 1M env-steps/s/chip; ``mcts_*`` tracks
+the flagship search operating point (B=1024 games, 400 sims/move, 5x128
+bf16 net) and ``mcts_peak_*`` the fast operating point (tiny 1x16 net, 32
+sims — DummyModel scale, like the reference's own benchmark) against the
+50k moves/s/chip target (BASELINE.md — the reference itself publishes no numbers; its own
 harnesses measure the same quantities: /root/reference/
 test_cython_performance_fixed.py:10-46 for env stepping and
 /root/reference/src/mcts/MCTS_benchmark.py:101-191 for search throughput;
@@ -16,9 +18,11 @@ refbench/reference_measurements.json).
 
 Method: env — a jitted ``lax.scan`` stepping a large batch of boards with a
 pseudo-random legal placement each step, resetting finished games in place so
-every step is live work. MCTS — one compiled ``run_search`` over 1024 fresh
-boards, moves/s = 1024 / best search wall time. Diagnostics go to stderr;
-stdout carries only the JSON line.
+every step is live work. MCTS — SUSTAINED throughput: several consecutive
+search+step move decisions inside ONE compiled program (the self-play inner
+loop; per-dispatch timing would add ~40-60 ms of relay latency per move,
+PERF.md pitfall 3), moves/s = moves x 1024 / best wall time to a host
+fetch. Diagnostics go to stderr; stdout carries only the JSON line.
 """
 from __future__ import annotations
 
@@ -83,16 +87,34 @@ def bench_env_steps(batch: int = 8192, steps: int = 512,
 
 
 def bench_mcts_moves(batch: int = 1024, sims: int = 400,
-                     leaf_batch: int = 8) -> float:
-    """Flagship search throughput: moves/s at B games, 400 sims, 5x128 bf16
-    (the operating point PERF.md's roofline table tracks). ``leaf_batch``
-    defaults to the measured-best multi-leaf setting."""
+                     leaf_batch: int = 8, moves: int = 4) -> float:
+    """Flagship search throughput: sustained moves/s at B games, 400 sims,
+    5x128 bf16 (the operating point PERF.md's roofline table tracks) —
+    ``moves`` consecutive search+step decisions inside one program, the
+    self-play inner loop (per-dispatch timing adds ~40-60 ms of relay
+    latency per move batch; PERF.md pitfall 3). ``leaf_batch`` defaults to
+    the measured-best multi-leaf setting."""
     import os
 
-    from alphazero_reversi_tpu.benchmarks import bench_mcts
+    from alphazero_reversi_tpu.benchmarks import bench_mcts_sustained
 
     leaf_batch = int(os.environ.get("AZR_BENCH_LEAF_BATCH", leaf_batch))
-    row = bench_mcts([batch], num_simulations=sims, leaf_batch=leaf_batch)[0]
+    row = bench_mcts_sustained(batch, sims, moves=moves,
+                               leaf_batch=leaf_batch)
+    return row["moves_per_s"]
+
+
+def bench_mcts_peak(batch: int = 1024, sims: int = 32,
+                    leaf_batch: int = 8, moves: int = 16) -> float:
+    """The 50k-north-star cell: sustained MCTS-guided moves/s at the fast
+    operating point (tiny 1x16 net, 32 sims — the scale of net/search the
+    reference's own DummyModel benchmark uses,
+    /root/reference/src/mcts/MCTS_benchmark.py:28-67)."""
+    from alphazero_reversi_tpu.benchmarks import bench_mcts_sustained
+
+    row = bench_mcts_sustained(batch, sims, moves=moves,
+                               num_res_blocks=1, num_filters=16,
+                               leaf_batch=leaf_batch)
     return row["moves_per_s"]
 
 
@@ -103,6 +125,10 @@ def main() -> int:
     value = bench_env_steps()
     print(f"env_steps_per_s: {value:.0f}", file=sys.stderr)
     mcts = bench_mcts_moves()
+    print(f"mcts flagship sustained: {mcts:.0f} moves/s", file=sys.stderr)
+    peak = bench_mcts_peak()
+    print(f"mcts peak sustained (tiny net, 32 sims): {peak:.0f} moves/s",
+          file=sys.stderr)
     print(json.dumps({
         "metric": "env_steps_per_s",
         "value": round(value, 1),
@@ -110,6 +136,9 @@ def main() -> int:
         "vs_baseline": round(value / NORTH_STAR, 4),
         "mcts_moves_per_s": round(mcts, 1),
         "mcts_vs_baseline": round(mcts / MCTS_NORTH_STAR, 4),
+        "mcts_peak_moves_per_s": round(peak, 1),
+        "mcts_peak_operating_point": "tiny-1x16 net, 32 sims, leaf_batch 8",
+        "mcts_peak_vs_baseline": round(peak / MCTS_NORTH_STAR, 4),
     }))
     return 0
 

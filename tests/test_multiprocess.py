@@ -1,0 +1,76 @@
+"""Real two-process ``jax.distributed`` test (gloo CPU collectives).
+
+The reference has no distributed backend at all (SURVEY.md §2.3); this
+framework's is ``parallel.mesh.initialize_distributed`` +
+``parallel.dp``. The CPU-mesh tests in test_parallel.py validate the
+sharding math single-process; this one validates the actual multi-process
+path: two OS processes x 2 local CPU devices = a 4-device global mesh with
+cross-process gradient/BN ``pmean`` over gloo, through the same
+``DPTrainer`` the pipeline uses. The loss history must agree across the
+two processes AND with a single-process 4-device run of the identical
+deterministic batch.
+"""
+import json
+import os
+import subprocess
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+from alphazero_reversi_tpu.config import MeshConfig, ModelConfig, \
+    TrainingConfig
+from alphazero_reversi_tpu.models import resnet
+from alphazero_reversi_tpu.parallel import dp as dp_lib
+from alphazero_reversi_tpu.parallel import mesh as mesh_lib
+
+WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "multiproc_dp_worker.py")
+
+
+def _single_process_losses():
+    """The worker's training loop, in-process on a 4-device submesh."""
+    mesh = mesh_lib.make_mesh(MeshConfig(data_axis=4, model_axis=1))
+    model_cfg = ModelConfig(num_res_blocks=1, num_filters=8)
+    train_cfg = TrainingConfig(learning_rate=1e-2, weight_decay=0.0,
+                               policy_loss="soft")
+    net = resnet.build_network(model_cfg)
+    variables = resnet.init_variables(net, jax.random.PRNGKey(0))
+    trainer = dp_lib.DPTrainer(net, variables, train_cfg, mesh)
+
+    rng = np.random.RandomState(7)
+    B = 16
+    losses = []
+    for _ in range(3):
+        planes = rng.rand(B, 8, 8, 3).astype(np.float32)
+        policy = rng.rand(B, 65).astype(np.float32)
+        policy /= policy.sum(-1, keepdims=True)
+        value = (rng.rand(B).astype(np.float32) * 2 - 1)
+        aux = trainer.step(planes, policy, value, jax.random.PRNGKey(11))
+        losses.append(float(np.asarray(aux["loss"])))
+    return losses
+
+
+def test_two_process_dp_training(tmp_path):
+    outs = [tmp_path / f"w{i}.json" for i in range(2)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(i), "2", "29581", str(outs[i])],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(2)
+    ]
+    logs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        logs.append(out.decode(errors="replace"))
+    assert all(p.returncode == 0 for p in procs), "\n".join(logs)
+
+    results = [json.loads(o.read_text()) for o in outs]
+    # both processes see the same replicated loss
+    assert results[0]["losses"] == pytest.approx(results[1]["losses"],
+                                                 rel=1e-6)
+    # and it matches the single-process 4-device run (gloo reduction
+    # order may differ from the in-process psum at float precision)
+    expected = _single_process_losses()
+    assert results[0]["losses"] == pytest.approx(expected, rel=2e-4)
