@@ -193,3 +193,22 @@ class ReversiGame:
         g.board = self.board.copy()
         g.move_history = list(self.move_history)
         return g
+
+    def get_zobrist_hash(self) -> int:
+        """Position hash. The reference's MCTS probes exactly this method
+        name on the game object (mcts.py:242-247) and no implementation
+        exists anywhere in its codebase, so its whole transposition
+        subsystem was dead (SURVEY.md §2.1) — here the probe would fire."""
+        from .. import zobrist
+
+        return zobrist.hash_ints(self.board.black, self.board.white,
+                                 self.current_player)
+
+    def get_symmetry_hashes(self) -> List[int]:
+        """Hashes of all 8 dihedral variants (the symmetry probe the
+        reference's search wanted, mcts.py:369-383)."""
+        from .. import zobrist
+
+        return zobrist.symmetry_hashes_ints(self.board.black,
+                                            self.board.white,
+                                            self.current_player)

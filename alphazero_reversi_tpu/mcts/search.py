@@ -393,11 +393,15 @@ class MCTS:
     """
 
     def __init__(self, net, variables, config: MCTSConfig,
-                 compat: bool = False):
+                 compat: bool = False, transposition_table=None):
         self.net = net
         self.variables = variables
         self.config = config
         self.compat = compat
+        # host transposition cache (mcts.transposition.TranspositionTable)
+        # consulted for deterministic (noise-free) single-game queries —
+        # the living version of the reference's dead TT (mcts.py:237-320)
+        self.transposition_table = transposition_table
 
     def search_batch(self, root_states: env.EnvState, key: jax.Array,
                      add_noise: bool = True) -> SearchResult:
@@ -417,7 +421,39 @@ class MCTS:
     def get_action_probs(self, root_states: env.EnvState, key: jax.Array,
                          temperature: float = 1.0, add_noise: bool = True
                          ) -> Tuple[jax.Array, SearchResult]:
-        result = self.search_batch(root_states, key, add_noise=add_noise)
+        result = self._search_with_tt(root_states, key, add_noise)
         probs = probs_with_temperature(result.visit_counts,
                                        jnp.float32(temperature))
         return probs, result
+
+    def _search_with_tt(self, root_states: env.EnvState, key: jax.Array,
+                        add_noise: bool) -> SearchResult:
+        """Search, short-circuited through the transposition table when the
+        query is cacheable: batch 1 (host match play) and noise-free (a
+        Dirichlet-noised search is not a function of the position)."""
+        tt = self.transposition_table
+        cacheable = (tt is not None and not add_noise
+                     and root_states.to_move.shape == (1,))
+        if not cacheable:
+            return self.search_batch(root_states, key, add_noise=add_noise)
+
+        import numpy as np
+
+        from ..ops import u64 as u64_lib
+
+        one = jax.tree_util.tree_map(lambda x: x[0], root_states)
+        black, white = u64_lib.to_int(one.black), u64_lib.to_int(one.white)
+        to_move = int(one.to_move)
+        hit = tt.lookup(black, white, to_move)
+        if hit is not None:
+            counts, value = hit
+            vc = jnp.asarray(counts, jnp.float32)[None]
+            total = jnp.maximum(vc.sum(axis=-1, keepdims=True), 1.0)
+            return SearchResult(visit_counts=vc, action_probs=vc / total,
+                                root_value=jnp.asarray([value], jnp.float32),
+                                tree=None)
+        result = self.search_batch(root_states, key, add_noise=False)
+        tt.store(black, white, to_move,
+                 np.asarray(result.visit_counts[0], np.float32),
+                 float(np.asarray(result.root_value[0])))
+        return result

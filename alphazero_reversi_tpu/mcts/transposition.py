@@ -1,0 +1,86 @@
+"""Host transposition table with dihedral-8 symmetry lookup — the living
+version of the reference's dead machinery.
+
+The reference's ``MCTS`` defined ``TranspositionTableEntry``, probed the 8
+symmetry hashes of every root, and stored search results by hash
+(/root/reference/src/mcts/mcts.py:14-31,237-320,369-383) — but no hash
+provider exists anywhere in its codebase, so the whole subsystem
+short-circuited on ``hash is None`` forever (SURVEY.md §2.1). Here the
+hashes exist (``zobrist``) and the table actually fires.
+
+Where it pays on TPU: NOT inside the batched on-device search — a dynamic
+hash table has no efficient XLA form, and past the opening the hit rate
+across thousands of concurrent games is negligible next to a fused
+tree pass. It pays on the HOST play surface (``MCTS.get_action_probs`` at
+batch 1: arena-style evaluation match play, refbench/crossplay.py), where
+openings repeat across the games of a match and a deterministic
+(noise-free) search of the same position is pure recomputation. Entries
+are keyed by the symmetry-CANONICAL hash, so a position cached in one
+orientation hits in all eight; the stored visit distribution is permuted
+back through the matching symmetry on the way out.
+
+Stores visit counts + root value (not temperature-shaped probabilities),
+so one entry serves any play temperature.
+"""
+from __future__ import annotations
+
+from collections import OrderedDict
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .. import symmetry, zobrist
+
+
+class TranspositionTable:
+    """LRU-bounded ``canonical hash -> (exact hash, visit_counts, value)``.
+
+    ``lookup``/``store`` take host bitboard ints (LSB-first square order)
+    plus the side to move — the representation of ``env.game.Board`` and
+    the C oracle.
+    """
+
+    def __init__(self, capacity: int = 100_000):
+        self.capacity = capacity
+        self.hits = 0
+        self.misses = 0
+        self._store: OrderedDict[int, Tuple[int, np.ndarray, float]] = \
+            OrderedDict()
+
+    def __len__(self) -> int:
+        return len(self._store)
+
+    def store(self, black: int, white: int, to_move: int,
+              visit_counts: np.ndarray, value: float) -> None:
+        hashes = zobrist.symmetry_hashes_ints(black, white, to_move)
+        canonical = min(hashes)
+        self._store[canonical] = (hashes[0], np.asarray(visit_counts,
+                                                        np.float32).copy(),
+                                  float(value))
+        self._store.move_to_end(canonical)
+        while len(self._store) > self.capacity:
+            self._store.popitem(last=False)
+
+    def lookup(self, black: int, white: int, to_move: int
+               ) -> Optional[Tuple[np.ndarray, float]]:
+        """Returns ``(visit_counts, value)`` oriented to the QUERY position,
+        or None. A hit through symmetry ``s`` (stored == transform_s(query))
+        permutes the stored counts back by ``INVERSE[s]``."""
+        hashes = zobrist.symmetry_hashes_ints(black, white, to_move)
+        entry = self._store.get(min(hashes))
+        if entry is None:
+            self.misses += 1
+            return None
+        stored_hash, counts, value = entry
+        for s, h in enumerate(hashes):
+            if h == stored_hash:
+                self.hits += 1
+                self._store.move_to_end(min(hashes))
+                inv = int(symmetry.INVERSE[s])
+                out = np.empty_like(counts)
+                out[:64] = counts[symmetry.PERMS[inv]]
+                out[64:] = counts[64:]
+                return out, value
+        # canonical collision without an exact symmetry match: treat as miss
+        self.misses += 1
+        return None

@@ -56,10 +56,16 @@ class OursAgent:
             if restored is None:
                 raise FileNotFoundError(f"no best model under {ckpt_dir}")
             variables = restored
+        from alphazero_reversi_tpu.mcts.transposition import \
+            TranspositionTable
+
         self.mcts = search_lib.MCTS(
             net, variables,
             MCTSConfig(num_simulations=sims, c_puct=1.0),
-            compat=True)
+            compat=True,
+            # noise-free match play repeats openings across games: cache
+            # them (symmetry-canonical keys), skipping whole searches
+            transposition_table=TranspositionTable())
         self.temperature = temperature
         self.key = jax.random.PRNGKey(0)
 

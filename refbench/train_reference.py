@@ -18,8 +18,8 @@ import torch
 torch.set_num_threads(1)
 
 HERE = os.path.dirname(os.path.abspath(__file__))
-WORKDIR = os.path.join(HERE, "workdir_train")
-OUT = os.path.join(HERE, "reference_training.json")
+WORKDIR = os.path.join(HERE, os.environ.get("AZR_PARITY_WORKDIR", "workdir_train"))
+OUT = os.path.join(HERE, os.environ.get("AZR_PARITY_OUT", "reference_training.json"))
 REF = "/root/reference"
 
 os.makedirs(WORKDIR, exist_ok=True)
@@ -30,7 +30,7 @@ sys.path.insert(0, os.path.join(REF, "src"))
 from src.config import Config  # noqa: E402
 from src.trainer.pipeline import AlphaZeroPipeline  # noqa: E402
 
-ITERATIONS = 10
+ITERATIONS = int(os.environ.get("AZR_PARITY_ITERS", "10"))
 
 config = Config.load(os.path.join(REF, "configs/default_config.json"))
 config.training.num_epochs = ITERATIONS

@@ -15,15 +15,15 @@ import time
 sys.path.insert(0, "/root/repo")
 
 HERE = os.path.dirname(os.path.abspath(__file__))
-WORKDIR = os.path.join(HERE, "workdir_repo_train")
-OUT = os.path.join(HERE, "repo_training.json")
+WORKDIR = os.path.join(HERE, os.environ.get("AZR_PARITY_WORKDIR", "workdir_repo_train"))
+OUT = os.path.join(HERE, os.environ.get("AZR_PARITY_OUT", "repo_training.json"))
 os.makedirs(WORKDIR, exist_ok=True)
 os.chdir(WORKDIR)
 
 from alphazero_reversi_tpu.config import Config  # noqa: E402
 from alphazero_reversi_tpu.pipeline import AlphaZeroPipeline  # noqa: E402
 
-ITERATIONS = 10
+ITERATIONS = int(os.environ.get("AZR_PARITY_ITERS", "10"))
 
 config = Config()
 config.mcts.num_simulations = 100

@@ -1,0 +1,196 @@
+"""Zobrist hashing + transposition table — the living replacement for the
+reference's dead machinery (mcts.py:14-31,237-320,369-383; no hash
+provider ever existed there, SURVEY.md §2.1)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from alphazero_reversi_tpu import symmetry, zobrist
+from alphazero_reversi_tpu.config import MCTSConfig, ModelConfig
+from alphazero_reversi_tpu.env import bitboard as env
+from alphazero_reversi_tpu.mcts import search as search_lib
+from alphazero_reversi_tpu.mcts.transposition import TranspositionTable
+from alphazero_reversi_tpu.models import resnet
+from alphazero_reversi_tpu.ops import u64
+
+
+def _random_states(key, batch=16, moves=10):
+    states = env.initial_state((batch,))
+    for i in range(moves):
+        key, k = jax.random.split(key)
+        legal = env.legal_action_mask(states)
+        scores = jax.random.uniform(k, (batch, env.NUM_ACTIONS))
+        action = jnp.argmax(jnp.where(legal, scores, -1.0),
+                            axis=-1).astype(jnp.int32)
+        states, _ = env.step(states, action)
+    return states
+
+
+def _transform_states(states, s):
+    """Dihedral transform of batched states via the same PERMS convention."""
+    def tf(b):
+        board = u64.to_board(b).reshape(-1, 64)
+        perm = np.asarray(symmetry.PERMS[s])
+        out = jnp.asarray(np.asarray(board)[:, perm])
+        return u64.from_board(out.reshape(-1, 8, 8))
+    return states._replace(black=tf(states.black), white=tf(states.white))
+
+
+def test_hash_distinct_and_deterministic():
+    states = _random_states(jax.random.PRNGKey(0))
+    h = zobrist.hash_states(states)
+    vals = [(int(a) << 32) | int(b)
+            for a, b in zip(np.asarray(h.hi), np.asarray(h.lo))]
+    # same position twice -> same hash
+    h2 = zobrist.hash_states(states)
+    assert np.array_equal(np.asarray(h.hi), np.asarray(h2.hi))
+    assert np.array_equal(np.asarray(h.lo), np.asarray(h2.lo))
+    # 16 random 10-move positions: all distinct (collision prob ~1e-17)
+    assert len(set(vals)) == len(vals)
+
+
+def test_hash_depends_on_side_to_move():
+    states = env.initial_state((1,))
+    flipped = states._replace(to_move=jnp.full_like(states.to_move,
+                                                    env.WHITE))
+    a, b = zobrist.hash_states(states), zobrist.hash_states(flipped)
+    assert (int(a.hi[0]), int(a.lo[0])) != (int(b.hi[0]), int(b.lo[0]))
+
+
+def test_symmetry_hashes_match_transformed_states():
+    states = _random_states(jax.random.PRNGKey(1), batch=4)
+    sym_h = zobrist.symmetry_hashes(states)  # [B, 8]
+    assert sym_h.hi.shape == (4, 8)
+    for s in range(symmetry.NUM_SYMS):
+        t = _transform_states(states, s)
+        ht = zobrist.hash_states(t)
+        assert np.array_equal(np.asarray(ht.hi), np.asarray(sym_h.hi[:, s]))
+        assert np.array_equal(np.asarray(ht.lo), np.asarray(sym_h.lo[:, s]))
+
+
+def test_canonical_hash_symmetry_invariant():
+    states = _random_states(jax.random.PRNGKey(2), batch=4)
+    c0 = zobrist.canonical_hash(states)
+    for s in range(1, symmetry.NUM_SYMS):
+        cs = zobrist.canonical_hash(_transform_states(states, s))
+        assert np.array_equal(np.asarray(c0.hi), np.asarray(cs.hi))
+        assert np.array_equal(np.asarray(c0.lo), np.asarray(cs.lo))
+
+
+def test_host_hash_matches_vectorized():
+    states = _random_states(jax.random.PRNGKey(3), batch=8)
+    h = zobrist.hash_states(states)
+    for i in range(8):
+        one = jax.tree_util.tree_map(lambda x: x[i], states)
+        hi = zobrist.hash_ints(u64.to_int(one.black), u64.to_int(one.white),
+                               int(one.to_move))
+        assert hi == (int(h.hi[i]) << 32) | int(h.lo[i])
+
+
+def test_transform_bits_identity_and_roundtrip():
+    bits = 0x123456789ABCDEF0
+    assert zobrist.transform_bits(bits, 0) == bits  # PERMS[0] = identity
+    for s in range(symmetry.NUM_SYMS):
+        t = zobrist.transform_bits(bits, s)
+        back = zobrist.transform_bits(t, int(symmetry.INVERSE[s]))
+        assert back == bits
+        assert bin(t).count("1") == bin(bits).count("1")
+
+
+def test_game_wrapper_hash_methods():
+    """The exact method names the reference's MCTS probes (mcts.py:242-247,
+    369-383) exist and work on our game wrapper."""
+    from alphazero_reversi_tpu.env.game import ReversiGame
+
+    g = ReversiGame()
+    h0 = g.get_zobrist_hash()
+    syms = g.get_symmetry_hashes()
+    assert syms[0] == h0 and len(syms) == 8
+    assert g.make_move(2, 3)
+    assert g.get_zobrist_hash() != h0
+    # matches the vectorized hash of the same position
+    assert g.get_zobrist_hash() == zobrist.hash_ints(
+        g.board.black, g.board.white, g.current_player)
+
+
+def test_transposition_symmetry_lookup():
+    tt = TranspositionTable()
+    # an ASYMMETRIC position: for self-symmetric positions (e.g. the
+    # standard opening, which maps to itself under 180deg rotation) the
+    # hit orientation is inherently ambiguous — and harmless, since real
+    # search counts of a self-symmetric position share its symmetry.
+    black, white = (1 << 19) | (1 << 28) | (1 << 35), (1 << 27) | (1 << 44)
+    assert len(set(zobrist.symmetry_hashes_ints(black, white,
+                                                env.BLACK))) == 8
+    counts = np.zeros(65, np.float32)
+    counts[19] = 30.0
+    counts[26] = 10.0
+    counts[64] = 2.0
+    tt.store(black, white, env.BLACK, counts, 0.25)
+
+    # exact hit
+    got, val = tt.lookup(black, white, env.BLACK)
+    assert val == 0.25 and np.array_equal(got, counts)
+
+    # hit through every symmetry, counts permuted back to the query frame
+    for s in range(1, symmetry.NUM_SYMS):
+        tb = zobrist.transform_bits(black, s)
+        tw = zobrist.transform_bits(white, s)
+        got, val = tt.lookup(tb, tw, env.BLACK)
+        assert val == 0.25
+        # query = transform_s(stored): policy_query[i] = counts[PERMS[s][i]]
+        expected = np.concatenate([counts[symmetry.PERMS[s]], counts[64:]])
+        assert np.array_equal(got, expected), f"sym {s}"
+
+    # wrong side to move / different position -> miss
+    assert tt.lookup(black, white, env.WHITE) is None
+    assert tt.lookup(white, black, env.BLACK) is None
+    assert tt.hits == 8 and tt.misses == 2
+
+
+def test_transposition_capacity_lru():
+    tt = TranspositionTable(capacity=2)
+    c = np.ones(65, np.float32)
+    tt.store(1, 2, env.BLACK, c, 0.0)
+    tt.store(4, 8, env.BLACK, c, 0.0)
+    tt.lookup(1, 2, env.BLACK)  # refresh entry 1
+    tt.store(16, 32, env.BLACK, c, 0.0)  # evicts (4, 8)
+    assert tt.lookup(4, 8, env.BLACK) is None
+    assert tt.lookup(1, 2, env.BLACK) is not None
+    assert len(tt) == 2
+
+
+def test_mcts_uses_transposition_table():
+    cfg = ModelConfig(num_res_blocks=1, num_filters=8,
+                      compute_dtype="float32")
+    net = resnet.build_network(cfg)
+    variables = resnet.init_variables(net, jax.random.PRNGKey(0))
+    tt = TranspositionTable()
+    mcts = search_lib.MCTS(net, variables,
+                           MCTSConfig(num_simulations=8, max_depth=4),
+                           transposition_table=tt)
+    states = env.initial_state((1,))
+
+    probs1, r1 = mcts.get_action_probs(states, jax.random.PRNGKey(1),
+                                       add_noise=False)
+    assert tt.misses == 1 and tt.hits == 0 and len(tt) == 1
+    probs2, r2 = mcts.get_action_probs(states, jax.random.PRNGKey(2),
+                                       add_noise=False)
+    assert tt.hits == 1
+    assert np.array_equal(np.asarray(probs1), np.asarray(probs2))
+    assert np.array_equal(np.asarray(r1.visit_counts),
+                          np.asarray(r2.visit_counts))
+
+    # the mirrored opening hits through symmetry with permuted counts
+    mirrored = _transform_states(states, 1)
+    _, r3 = mcts.get_action_probs(mirrored, jax.random.PRNGKey(3),
+                                  add_noise=False)
+    assert tt.hits == 2
+    expected = np.asarray(r1.visit_counts[0])[
+        np.concatenate([symmetry.PERMS[1], [64]])]
+    assert np.array_equal(np.asarray(r3.visit_counts[0]), expected)
+
+    # noised queries bypass the table (not a function of the position)
+    mcts.get_action_probs(states, jax.random.PRNGKey(4), add_noise=True)
+    assert tt.hits == 2 and len(tt) == 1
