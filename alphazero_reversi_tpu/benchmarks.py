@@ -143,8 +143,8 @@ def bench_mcts_sustained(batch: int = 1024, num_simulations: int = 400,
                          moves: int = 8, num_res_blocks: int = 5,
                          num_filters: int = 128, repeats: int = 3,
                          compute_dtype: str = "bfloat16",
-                         leaf_batch: int = 1, num_stages: int = 6
-                         ) -> Dict[str, float]:
+                         leaf_batch: int = 1, num_stages: int = 6,
+                         max_depth: int = 24) -> Dict[str, float]:
     """Sustained MCTS-guided moves/s: ``moves`` consecutive search+step
     decisions inside ONE compiled program (the self-play inner loop,
     selfplay.play_games:151, with finished boards reset in place so every
@@ -172,7 +172,8 @@ def bench_mcts_sustained(batch: int = 1024, num_simulations: int = 400,
                 net, variables, states, sk,
                 num_simulations=num_simulations, c_puct=1.0,
                 dirichlet_alpha=0.3, dirichlet_epsilon=0.25,
-                num_stages=num_stages, leaf_batch=leaf_batch)
+                num_stages=num_stages, leaf_batch=leaf_batch,
+                max_depth=max_depth)
             probs = search_lib.probs_with_temperature(
                 result.visit_counts, jnp.float32(1.0))
             actions = search_lib.sample_actions(ak, probs)

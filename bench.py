@@ -87,7 +87,7 @@ def bench_env_steps(batch: int = 8192, steps: int = 512,
 
 
 def bench_mcts_moves(batch: int = 1024, sims: int = 400,
-                     leaf_batch: int = 8, moves: int = 4) -> float:
+                     leaf_batch: int = 16, moves: int = 4) -> float:
     """Flagship search throughput: sustained moves/s at B games, 400 sims,
     5x128 bf16 (the operating point PERF.md's roofline table tracks) —
     ``moves`` consecutive search+step decisions inside one program, the
