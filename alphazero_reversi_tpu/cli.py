@@ -127,6 +127,18 @@ def cmd_tournament(args) -> int:
     return 0
 
 
+def cmd_import_checkpoint(args) -> int:
+    """Migrate a reference torch ``.pth`` into our checkpoint store
+    (interop.import_to_orbax): reference users carry trained models across."""
+    from . import interop
+
+    cfg = interop.import_to_orbax(args.pth, args.checkpoint_dir)
+    print(f"imported {args.pth} -> {args.checkpoint_dir} "
+          f"(best): {cfg.num_res_blocks}x{cfg.num_filters} net, "
+          f"board {cfg.board_size}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="alphazero-reversi-tpu",
@@ -170,6 +182,15 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--model-dir", required=True)
     m.add_argument("--rounds", type=int, default=None)
     m.set_defaults(fn=cmd_tournament)
+
+    i = sub.add_parser(
+        "import-checkpoint",
+        help="migrate a reference PyTorch .pth into an Orbax 'best' "
+             "checkpoint this framework's train/tournament commands load")
+    i.add_argument("pth", help="reference .pth (raw state_dict or "
+                               "{'model_state_dict': ...} wrapper)")
+    i.add_argument("--checkpoint-dir", "-d", required=True)
+    i.set_defaults(fn=cmd_import_checkpoint)
     return p
 
 
