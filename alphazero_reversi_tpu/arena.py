@@ -57,7 +57,8 @@ def _score_a(final: env.EnvState, a_color: jax.Array) -> jax.Array:
 
 
 def _make_side_probs(net, *, num_simulations: int, c_puct: float,
-                     temperature: float, max_depth: int, compat: bool):
+                     temperature: float, max_depth: int, compat: bool,
+                     leaf_batch: int = 1):
     """Policy for one side: full MCTS at the tournament temperature, or the
     uniform random baseline (arena.py:177-188)."""
 
@@ -68,7 +69,8 @@ def _make_side_probs(net, *, num_simulations: int, c_puct: float,
             net, variables, states, skey,
             num_simulations=num_simulations, c_puct=c_puct,
             dirichlet_alpha=0.3, dirichlet_epsilon=0.0,
-            max_depth=max_depth, compat=compat, add_noise=False)
+            max_depth=max_depth, compat=compat, add_noise=False,
+            leaf_batch=leaf_batch)
         return search_lib.probs_with_temperature(
             result.visit_counts, jnp.float32(temperature))
 
@@ -79,13 +81,16 @@ def _make_side_probs(net, *, num_simulations: int, c_puct: float,
     jax.jit,
     static_argnames=("net", "num_games", "num_simulations", "max_depth",
                      "max_moves", "compat", "a_random", "b_random",
-                     "pass_slack", "return_final"),
+                     "pass_slack", "return_final", "num_simulations_b",
+                     "leaf_batch", "leaf_batch_b"),
 )
 def play_pair(net, vars_a, vars_b, key: jax.Array, *, num_games: int,
               num_simulations: int, c_puct: float, temperature: float,
               max_depth: int = 64, max_moves: int = 60, compat: bool = False,
               a_random: bool = False, b_random: bool = False,
-              pass_slack: int = 8, return_final: bool = False) -> jax.Array:
+              pass_slack: int = 8, return_final: bool = False,
+              num_simulations_b: Optional[int] = None, leaf_batch: int = 1,
+              leaf_batch_b: Optional[int] = None) -> jax.Array:
     """Play ``num_games`` games of A vs B, searching only for the mover.
 
     A plays BLACK in the first ``num_games // 2`` games and WHITE in the rest
@@ -110,9 +115,21 @@ def play_pair(net, vars_a, vars_b, key: jax.Array, *, num_games: int,
     a_color = jnp.where(jnp.arange(num_games) < half, env.BLACK,
                         env.WHITE).astype(jnp.int32)
     states = env.initial_state((num_games,))
-    side_probs = _make_side_probs(
+    # per-side search settings (defaults: symmetric). Asymmetric settings
+    # turn the arena into a handicap/ablation harness — e.g. measuring the
+    # strength cost of multi-leaf rounds (leaf_batch vs leaf_batch_b at
+    # equal sims, refbench/leafbatch_quality.py).
+    probs_a_fn = _make_side_probs(
         net, num_simulations=num_simulations, c_puct=c_puct,
-        temperature=temperature, max_depth=max_depth, compat=compat)
+        temperature=temperature, max_depth=max_depth, compat=compat,
+        leaf_batch=leaf_batch)
+    probs_b_fn = _make_side_probs(
+        net,
+        num_simulations=(num_simulations if num_simulations_b is None
+                         else num_simulations_b),
+        c_puct=c_puct, temperature=temperature, max_depth=max_depth,
+        compat=compat,
+        leaf_batch=leaf_batch if leaf_batch_b is None else leaf_batch_b)
 
     def half_ply(states, step_key, sched_color: int):
         """One ply at statically-known scheduled color: one half-batch
@@ -122,11 +139,11 @@ def play_pair(net, vars_a, vars_b, key: jax.Array, *, num_games: int,
         s0 = jax.tree_util.tree_map(lambda x: x[:half], states)
         s1 = jax.tree_util.tree_map(lambda x: x[half:], states)
         if sched_color == env.BLACK:  # A owns BLACK in half 0
-            p0 = side_probs(s0, k0, vars_a, a_random)
-            p1 = side_probs(s1, k1, vars_b, b_random)
+            p0 = probs_a_fn(s0, k0, vars_a, a_random)
+            p1 = probs_b_fn(s1, k1, vars_b, b_random)
         else:
-            p0 = side_probs(s0, k0, vars_b, b_random)
-            p1 = side_probs(s1, k1, vars_a, a_random)
+            p0 = probs_b_fn(s0, k0, vars_b, b_random)
+            p1 = probs_a_fn(s1, k1, vars_a, a_random)
         probs = jnp.concatenate([p0, p1], axis=0)
         actions = search_lib.sample_actions(ks, probs)
         move_ok = (states.to_move == sched_color) & ~states.done

@@ -357,6 +357,17 @@ def bench_scaling(device_counts: Optional[List[int]] = None,
         for row in rows:
             ideal = base[rate_key] / base["devices"] * row["devices"]
             row["efficiency_pct"] = round(100.0 * row[rate_key] / ideal, 1)
+    if jax.devices()[0].platform == "cpu":
+        import os as _os
+
+        cores = _os.cpu_count() or 1
+        out["physical_cores"] = cores
+        out["note"] = (
+            f"virtual CPU mesh on {cores} physical cores: weak-scaling "
+            f"efficiency is bounded by core oversubscription (the 1-device "
+            f"baseline already uses every core via XLA:CPU intra-op "
+            f"threading), NOT by sharding overhead — this run validates "
+            f"the sharded programs; true ICI efficiency needs pod hardware")
     return out
 
 
