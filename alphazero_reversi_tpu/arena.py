@@ -88,7 +88,7 @@ def play_pair(net, vars_a, vars_b, key: jax.Array, *, num_games: int,
               num_simulations: int, c_puct: float, temperature: float,
               max_depth: int = 64, max_moves: int = 60, compat: bool = False,
               a_random: bool = False, b_random: bool = False,
-              pass_slack: int = 8, return_final: bool = False,
+              pass_slack: int = 16, return_final: bool = False,
               num_simulations_b: Optional[int] = None, leaf_batch: int = 1,
               leaf_batch_b: Optional[int] = None) -> jax.Array:
     """Play ``num_games`` games of A vs B, searching only for the mover.
@@ -104,7 +104,11 @@ def play_pair(net, vars_a, vars_b, key: jax.Array, *, num_games: int,
     (the round-1 implementation — VERDICT item 8). A game whose mover
     diverges from the schedule (an auto-pass gives one player two plies in a
     row) stalls for exactly one ply and realigns, so the ply budget is
-    ``max_moves + pass_slack`` instead of ``max_moves``.
+    ``max_moves + pass_slack`` instead of ``max_moves``: one slack ply per
+    auto-pass event. The default 16 covers any plausible game (pass-heavy
+    endgames rarely exceed ~4 events); a game that still exhausts the
+    budget is scored by piece count at the cutoff, i.e. the ``max_moves``
+    draw-cutoff semantics (SURVEY §2.4).
 
     Returns ``score_a`` per game: 1.0 win / 0.5 draw / 0.0 loss
     (arena.py:264-270 scoring).

@@ -204,6 +204,12 @@ class Config:
             if legacy is not None and "temp_threshold" not in sp_raw:
                 sp_raw["temp_threshold"] = legacy
         d["self_play"] = sp_raw
+        # migrate this framework's own pre-multi-leaf default: batch_size=0
+        # meant "one leaf per simulation round" before leaf_batch existed;
+        # run_search now requires a positive leaf count
+        if int(mcts_raw.get("batch_size", 1) or 0) < 1:
+            mcts_raw["batch_size"] = 1
+        d["mcts"] = mcts_raw
 
         def sub(section_cls, key):
             raw = dict(d.get(key, {}))

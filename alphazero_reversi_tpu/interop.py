@@ -88,8 +88,13 @@ def _infer_config(sd: Dict[str, np.ndarray]) -> ModelConfig:
     """Recover the architecture from a reference state dict's shapes."""
     num_filters = sd["conv.weight"].shape[0]
     blocks = {int(k.split(".")[1]) for k in sd if k.startswith("res_blocks.")}
-    board2 = sd["value_fc1.weight"].shape[1]  # 1 channel * board^2
+    value_channels = sd["value_conv.weight"].shape[0]
+    board2 = sd["value_fc1.weight"].shape[1] // value_channels
     board = int(round(board2 ** 0.5))
+    if board * board != board2:
+        raise ValueError(
+            f"cannot infer board size: value_fc1 in={board2 * value_channels}"
+            f" with {value_channels} value channels")
     return ModelConfig(
         num_res_blocks=(max(blocks) + 1) if blocks else 0,
         num_filters=num_filters,

@@ -395,13 +395,38 @@ class MCTS:
     def __init__(self, net, variables, config: MCTSConfig,
                  compat: bool = False, transposition_table=None):
         self.net = net
-        self.variables = variables
+        self._variables = variables
         self.config = config
         self.compat = compat
         # host transposition cache (mcts.transposition.TranspositionTable)
         # consulted for deterministic (noise-free) single-game queries —
         # the living version of the reference's dead TT (mcts.py:237-320)
+        if (transposition_table is not None and compat
+                and transposition_table.use_symmetry):
+            # compat rules are NOT dihedral-equivariant (the edge-wrap /
+            # west-mask quirks single out east/west — symmetry.py): a
+            # symmetry hit could return counts on moves illegal in the
+            # query orientation. Downgrade a fresh table to exact-position
+            # keys; refuse one that already holds symmetry-keyed entries.
+            if len(transposition_table):
+                raise ValueError(
+                    "compat-mode MCTS cannot reuse a symmetry-keyed "
+                    "transposition table with existing entries")
+            transposition_table.use_symmetry = False
         self.transposition_table = transposition_table
+
+    @property
+    def variables(self):
+        return self._variables
+
+    @variables.setter
+    def variables(self, new_variables):
+        # cached searches are a function of the weights: swapping the model
+        # (the pipeline's promotion pattern) must invalidate the table
+        if self.transposition_table is not None and new_variables is not \
+                self._variables:
+            self.transposition_table.clear()
+        self._variables = new_variables
 
     def search_batch(self, root_states: env.EnvState, key: jax.Array,
                      add_noise: bool = True) -> SearchResult:

@@ -40,8 +40,16 @@ class TranspositionTable:
     the C oracle.
     """
 
-    def __init__(self, capacity: int = 100_000):
+    def __init__(self, capacity: int = 100_000, use_symmetry: bool = True):
+        """``use_symmetry=False`` keys by the exact position only. Required
+        when the RULES are not dihedral-equivariant — compat mode's
+        edge-wrap/mis-masked-flip quirks single out the east/west directions
+        (see ``symmetry``'s module docstring), so a search result permuted
+        from another orientation could place visits on squares that are
+        illegal in the query orientation. ``MCTS`` picks this automatically
+        from its ``compat`` flag."""
         self.capacity = capacity
+        self.use_symmetry = use_symmetry
         self.hits = 0
         self.misses = 0
         self._store: OrderedDict[int, Tuple[int, np.ndarray, float]] = \
@@ -50,9 +58,19 @@ class TranspositionTable:
     def __len__(self) -> int:
         return len(self._store)
 
+    def clear(self) -> None:
+        """Drop all entries (hit/miss counters survive). Called when the
+        model weights behind the cached searches change."""
+        self._store.clear()
+
+    def _hashes(self, black: int, white: int, to_move: int):
+        if self.use_symmetry:
+            return zobrist.symmetry_hashes_ints(black, white, to_move)
+        return [zobrist.hash_ints(black, white, to_move)]
+
     def store(self, black: int, white: int, to_move: int,
               visit_counts: np.ndarray, value: float) -> None:
-        hashes = zobrist.symmetry_hashes_ints(black, white, to_move)
+        hashes = self._hashes(black, white, to_move)
         canonical = min(hashes)
         self._store[canonical] = (hashes[0], np.asarray(visit_counts,
                                                         np.float32).copy(),
@@ -66,7 +84,7 @@ class TranspositionTable:
         """Returns ``(visit_counts, value)`` oriented to the QUERY position,
         or None. A hit through symmetry ``s`` (stored == transform_s(query))
         permutes the stored counts back by ``INVERSE[s]``."""
-        hashes = zobrist.symmetry_hashes_ints(black, white, to_move)
+        hashes = self._hashes(black, white, to_move)
         entry = self._store.get(min(hashes))
         if entry is None:
             self.misses += 1

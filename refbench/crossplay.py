@@ -75,7 +75,7 @@ class OursAgent:
     def select_move(self, our_board, ref_game):
         jax = self.jax
         state = jax.tree_util.tree_map(lambda x: x[None], our_board._state)
-        self.key, k1, k2 = jax.random.split(self.key, 3)
+        self.key, k1 = jax.random.split(self.key)
         probs, _ = self.mcts.get_action_probs(
             state, k1, temperature=self.temperature, add_noise=False)
         p = np.asarray(probs[0])

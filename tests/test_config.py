@@ -59,3 +59,15 @@ def test_reference_default_config_loads():
     assert cfg.self_play.num_games == 100
     assert cfg.self_play.temp_threshold == 10  # from temperature_threshold
     assert cfg.self_play.temp_init == 1.0  # from mcts.temperature
+
+
+def test_legacy_batch_size_zero_migrates():
+    """Configs written before multi-leaf expansion used mcts.batch_size=0
+    ("one leaf per round"); run_search now requires a positive leaf count,
+    so loading must migrate 0 -> 1 instead of crashing the first search."""
+    from alphazero_reversi_tpu.config import Config
+
+    cfg = Config.from_dict({"mcts": {"batch_size": 0}})
+    assert cfg.mcts.batch_size == 1
+    cfg = Config.from_dict({"mcts": {"batch_size": 4}})
+    assert cfg.mcts.batch_size == 4

@@ -52,11 +52,22 @@ def _single_process_losses():
     return losses
 
 
+def _free_port() -> int:
+    """A currently-free TCP port, so concurrent suite runs on one machine
+    don't collide on the jax.distributed coordinator bind."""
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
 def test_two_process_dp_training(tmp_path):
     outs = [tmp_path / f"w{i}.json" for i in range(2)]
+    port = str(_free_port())
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, str(i), "2", "29581", str(outs[i])],
+            [sys.executable, WORKER, str(i), "2", port, str(outs[i])],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
         for i in range(2)
     ]

@@ -194,3 +194,54 @@ def test_mcts_uses_transposition_table():
     # noised queries bypass the table (not a function of the position)
     mcts.get_action_probs(states, jax.random.PRNGKey(4), add_noise=True)
     assert tt.hits == 2 and len(tt) == 1
+
+def test_compat_mcts_disables_symmetry_lookup():
+    """compat rules are not dihedral-equivariant (edge-wrap/west-mask quirks
+    single out east/west), so a compat MCTS must downgrade the TT to
+    exact-position keys — and refuse a pre-populated symmetry-keyed table."""
+    cfg = ModelConfig(num_res_blocks=1, num_filters=8,
+                      compute_dtype="float32")
+    net = resnet.build_network(cfg)
+    variables = resnet.init_variables(net, jax.random.PRNGKey(0))
+    tt = TranspositionTable()
+    assert tt.use_symmetry
+    mcts = search_lib.MCTS(net, variables,
+                           MCTSConfig(num_simulations=4, max_depth=4),
+                           compat=True, transposition_table=tt)
+    assert not tt.use_symmetry
+
+    states = env.initial_state((1,))
+    mcts.get_action_probs(states, jax.random.PRNGKey(1), add_noise=False)
+    assert tt.misses == 1
+    # the mirrored opening must NOT hit through symmetry in compat mode
+    mirrored = _transform_states(states, 1)
+    mcts.get_action_probs(mirrored, jax.random.PRNGKey(2), add_noise=False)
+    assert tt.hits == 0 and tt.misses == 2
+
+    stale = TranspositionTable()
+    stale.store(0x1, 0x2, env.BLACK, np.zeros(65, np.float32), 0.0)
+    with pytest.raises(ValueError):
+        search_lib.MCTS(net, variables, MCTSConfig(num_simulations=4),
+                        compat=True, transposition_table=stale)
+
+
+def test_tt_invalidated_on_variables_swap():
+    """Cached searches are a function of the weights: promoting a new model
+    (the pipeline pattern `mcts.variables = new`) must clear the table."""
+    cfg = ModelConfig(num_res_blocks=1, num_filters=8,
+                      compute_dtype="float32")
+    net = resnet.build_network(cfg)
+    v1 = resnet.init_variables(net, jax.random.PRNGKey(0))
+    v2 = resnet.init_variables(net, jax.random.PRNGKey(9))
+    tt = TranspositionTable()
+    mcts = search_lib.MCTS(net, v1, MCTSConfig(num_simulations=4,
+                                               max_depth=4),
+                           transposition_table=tt)
+    states = env.initial_state((1,))
+    mcts.get_action_probs(states, jax.random.PRNGKey(1), add_noise=False)
+    assert len(tt) == 1
+    mcts.variables = v2
+    assert len(tt) == 0
+    p2, _ = mcts.get_action_probs(states, jax.random.PRNGKey(2),
+                                  add_noise=False)
+    assert tt.misses == 2  # re-searched with the new weights
