@@ -118,7 +118,29 @@ def bench_mcts_peak(batch: int = 1024, sims: int = 32,
     return row["moves_per_s"]
 
 
+def _start_watchdog(budget_s: float) -> None:
+    """Hard-exit if the device stops responding mid-run: the axon relay can
+    die (observed 2026-08-17 — jax calls then block forever in C++ land
+    where no Python timeout reaches). Exiting non-zero with a diagnostic
+    beats hanging the driver; no JSON line is printed, so no fake metric
+    gets recorded."""
+    import os
+    import threading
+
+    def blow():
+        print(f"bench watchdog: no result within {budget_s:.0f}s — device/"
+              f"relay unresponsive; aborting without a metric",
+              file=sys.stderr, flush=True)
+        os._exit(17)
+
+    t = threading.Timer(budget_s, blow)
+    t.daemon = True
+    t.start()
+
+
 def main() -> int:
+    _start_watchdog(float(__import__("os").environ.get(
+        "AZR_BENCH_TIMEOUT_S", 2400)))
     dev = jax.devices()[0]
     print(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}",
           file=sys.stderr)
