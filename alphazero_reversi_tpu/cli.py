@@ -127,6 +127,72 @@ def cmd_tournament(args) -> int:
     return 0
 
 
+def cmd_analyze(args) -> int:
+    """Position analysis: play the given moves from the initial board, run a
+    full noise-free search, print the top moves with visit counts and the
+    root value. (No reference analog — its MCTS had no inspection surface;
+    this exposes ours through the OO game API.)"""
+    import numpy as np
+
+    from .config import MCTSConfig
+    from .env.game import Board
+    from .mcts import search as search_lib
+
+    config = _load_config(args.config)
+    net = resnet.build_network(config.model)
+    template = resnet.init_variables(net, jax.random.PRNGKey(0))
+    variables = template
+    if args.checkpoint_dir:
+        restored = ckpt_lib.restore_best(args.checkpoint_dir, template)
+        if restored is None:
+            print(f"no best checkpoint under {args.checkpoint_dir}",
+                  file=sys.stderr)
+            return 1
+        variables = restored
+
+    board = Board(compat=config.env_compat)
+    for token in args.moves:
+        if token.lower() == "pass":
+            r, c = -1, -1
+        else:  # algebraic (e.g. d3) or r,c
+            t = token.lower()
+            if "," in t:
+                r, c = (int(x) for x in t.split(","))
+            else:
+                c, r = ord(t[0]) - ord("a"), int(t[1:]) - 1
+        if not board.make_move(r, c):
+            print(f"illegal move {token!r} at this position",
+                  file=sys.stderr)
+            return 1
+    print(board)
+
+    sims = args.sims or config.mcts.num_simulations
+    mcts = search_lib.MCTS(
+        net, variables,
+        MCTSConfig(num_simulations=sims, c_puct=config.mcts.c_puct,
+                   max_depth=config.mcts.max_depth,
+                   batch_size=config.mcts.batch_size),
+        compat=config.env_compat)
+    state = jax.tree_util.tree_map(lambda x: x[None], board._state)
+    _, result = mcts.get_action_probs(state, jax.random.PRNGKey(config.seed),
+                                      temperature=1.0, add_noise=False)
+    vc = np.asarray(result.visit_counts[0])
+    value = float(np.asarray(result.root_value[0]))
+    mover = "black" if board.current_player == 1 else "white"
+    print(f"\nroot value ({mover} to move): {value:+.3f}   "
+          f"[{sims} simulations]")
+    order = np.argsort(vc)[::-1]
+    shown = 0
+    for a in order:
+        if vc[a] == 0 or shown >= args.top:
+            break
+        name = "pass" if a == 64 else f"{chr(ord('a') + a % 8)}{a // 8 + 1}"
+        print(f"  {name:>5s}  visits {int(vc[a]):5d}  "
+              f"({vc[a] / max(vc.sum(), 1):5.1%})")
+        shown += 1
+    return 0
+
+
 def cmd_import_checkpoint(args) -> int:
     """Migrate a reference torch ``.pth`` into our checkpoint store
     (interop.import_to_orbax): reference users carry trained models across."""
@@ -182,6 +248,19 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--model-dir", required=True)
     m.add_argument("--rounds", type=int, default=None)
     m.set_defaults(fn=cmd_tournament)
+
+    a = sub.add_parser("analyze",
+                       help="search a position and print the top moves")
+    a.add_argument("moves", nargs="*",
+                   help="moves from the initial position (algebraic like "
+                        "'d3', 'r,c' pairs, or 'pass')")
+    a.add_argument("--config", "-c", default=None)
+    a.add_argument("--checkpoint-dir", "-d", default=None,
+                   help="load the 'best' model from here (default: "
+                        "untrained net)")
+    a.add_argument("--sims", type=int, default=None)
+    a.add_argument("--top", type=int, default=8)
+    a.set_defaults(fn=cmd_analyze)
 
     i = sub.add_parser(
         "import-checkpoint",

@@ -121,6 +121,19 @@ class Board:
         b.current_player = self.current_player
         return b
 
+    def __str__(self) -> str:
+        """ASCII board: X=black, O=white, .=empty, with a1-style axes."""
+        grid = self.get_board_state()
+        rows = ["  " + " ".join(chr(ord("a") + c) for c in range(self.size))]
+        for r in range(self.size):
+            cells = " ".join({1: "X", 2: "O", 0: "."}.get(int(v), "?")
+                             for v in grid[r])
+            rows.append(f"{r + 1} {cells}")
+        nb, nw = self.get_score()
+        mover = "black (X)" if self.current_player == 1 else "white (O)"
+        rows.append(f"X {nb} - O {nw}, {mover} to move")
+        return "\n".join(rows)
+
 
 class ReversiGame:
     """Game-flow wrapper with history (``src/game/game.py:9-192``)."""

@@ -76,3 +76,28 @@ def test_run_dir_rewrites_paths(tmp_path):
     run_dir = os.path.join(run_parent, runs[0])
     assert os.path.isdir(os.path.join(run_dir, "checkpoints"))
     assert os.path.exists(os.path.join(run_dir, "config.json"))
+
+
+def test_analyze_command(tmp_path, capsys):
+    """`analyze` searches a position and prints ranked moves."""
+    from alphazero_reversi_tpu import cli
+    from alphazero_reversi_tpu.config import Config
+
+    cfg = Config()
+    cfg.model.num_res_blocks = 1
+    cfg.model.num_filters = 8
+    cfg.model.compute_dtype = "float32"
+    cfg.mcts.num_simulations = 8
+    cfg.mcts.max_depth = 4
+    p = str(tmp_path / "cfg.json")
+    cfg.save(p)
+
+    rc = cli.main(["analyze", "d3", "--config", p, "--top", "3"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "root value" in out and "visits" in out
+    # board renders with both colors and no unknown glyphs
+    assert "X" in out and "O" in out and "?" not in out
+
+    rc = cli.main(["analyze", "a1", "--config", p])
+    assert rc == 1  # illegal opening move
