@@ -26,6 +26,7 @@ import numpy as np
 from .config import TournamentConfig
 from .elo import ELORatingSystem
 from .env import bitboard as env
+from .mcts import gumbel as gumbel_lib
 from .mcts import search as search_lib
 
 
@@ -58,13 +59,32 @@ def _score_a(final: env.EnvState, a_color: jax.Array) -> jax.Array:
 
 def _make_side_probs(net, *, num_simulations: int, c_puct: float,
                      temperature: float, max_depth: int, compat: bool,
-                     leaf_batch: int = 1):
+                     leaf_batch: int = 1, algorithm: str = "puct"):
     """Policy for one side: full MCTS at the tournament temperature, or the
-    uniform random baseline (arena.py:177-188)."""
+    uniform random baseline (arena.py:177-188).
+
+    ``algorithm="gumbel"`` plays with the deterministic Gumbel search
+    (``gumbel_scale=0`` — the match-play analog of a noise-free PUCT
+    search): at ~zero temperature the move is the sequential-halving
+    winner; at higher temperatures actions sample from the tempered
+    improved policy."""
+    if algorithm not in ("puct", "gumbel"):
+        raise ValueError(f"unknown search algorithm {algorithm!r}")
 
     def side_probs(states, skey, variables, is_random: bool) -> jax.Array:
         if is_random:
             return _random_probs(states, compat)
+        if algorithm == "gumbel":
+            gres = gumbel_lib.run_gumbel_search(
+                net, variables, states, skey,
+                num_simulations=num_simulations, gumbel_scale=0.0,
+                max_depth=max_depth, compat=compat, leaf_batch=leaf_batch)
+            greedy = jax.nn.one_hot(gres.chosen_action, env.NUM_ACTIONS,
+                                    dtype=jnp.float32)
+            tempered = search_lib.probs_with_temperature(
+                gres.action_probs, jnp.float32(temperature))
+            return jnp.where(jnp.float32(temperature) < 1e-3, greedy,
+                             tempered)
         result = search_lib.run_search(
             net, variables, states, skey,
             num_simulations=num_simulations, c_puct=c_puct,
@@ -82,7 +102,8 @@ def _make_side_probs(net, *, num_simulations: int, c_puct: float,
     static_argnames=("net", "num_games", "num_simulations", "max_depth",
                      "max_moves", "compat", "a_random", "b_random",
                      "pass_slack", "return_final", "num_simulations_b",
-                     "leaf_batch", "leaf_batch_b"),
+                     "leaf_batch", "leaf_batch_b", "algorithm",
+                     "algorithm_b"),
 )
 def play_pair(net, vars_a, vars_b, key: jax.Array, *, num_games: int,
               num_simulations: int, c_puct: float, temperature: float,
@@ -90,7 +111,8 @@ def play_pair(net, vars_a, vars_b, key: jax.Array, *, num_games: int,
               a_random: bool = False, b_random: bool = False,
               pass_slack: int = 16, return_final: bool = False,
               num_simulations_b: Optional[int] = None, leaf_batch: int = 1,
-              leaf_batch_b: Optional[int] = None) -> jax.Array:
+              leaf_batch_b: Optional[int] = None, algorithm: str = "puct",
+              algorithm_b: Optional[str] = None) -> jax.Array:
     """Play ``num_games`` games of A vs B, searching only for the mover.
 
     A plays BLACK in the first ``num_games // 2`` games and WHITE in the rest
@@ -122,18 +144,20 @@ def play_pair(net, vars_a, vars_b, key: jax.Array, *, num_games: int,
     # per-side search settings (defaults: symmetric). Asymmetric settings
     # turn the arena into a handicap/ablation harness — e.g. measuring the
     # strength cost of multi-leaf rounds (leaf_batch vs leaf_batch_b at
-    # equal sims, refbench/leafbatch_quality.py).
+    # equal sims, refbench/leafbatch_quality.py) or Gumbel-vs-PUCT at
+    # matched budgets (algorithm vs algorithm_b, refbench/gumbel_strength.py).
     probs_a_fn = _make_side_probs(
         net, num_simulations=num_simulations, c_puct=c_puct,
         temperature=temperature, max_depth=max_depth, compat=compat,
-        leaf_batch=leaf_batch)
+        leaf_batch=leaf_batch, algorithm=algorithm)
     probs_b_fn = _make_side_probs(
         net,
         num_simulations=(num_simulations if num_simulations_b is None
                          else num_simulations_b),
         c_puct=c_puct, temperature=temperature, max_depth=max_depth,
         compat=compat,
-        leaf_batch=leaf_batch if leaf_batch_b is None else leaf_batch_b)
+        leaf_batch=leaf_batch if leaf_batch_b is None else leaf_batch_b,
+        algorithm=algorithm if algorithm_b is None else algorithm_b)
 
     def half_ply(states, step_key, sched_color: int):
         """One ply at statically-known scheduled color: one half-batch
@@ -237,7 +261,8 @@ class Arena:
             temperature=cfg.temperature,
             compat=self.compat,
             a_random=a.variables is None,
-            b_random=b.variables is None)
+            b_random=b.variables is None,
+            algorithm=cfg.algorithm)
         return np.asarray(scores)
 
     def run_tournament(self, key: jax.Array,

@@ -171,7 +171,11 @@ def cmd_analyze(args) -> int:
         net, variables,
         MCTSConfig(num_simulations=sims, c_puct=config.mcts.c_puct,
                    max_depth=config.mcts.max_depth,
-                   batch_size=config.mcts.batch_size),
+                   batch_size=config.mcts.batch_size,
+                   algorithm=config.mcts.algorithm,
+                   max_considered_actions=config.mcts.max_considered_actions,
+                   c_visit=config.mcts.c_visit,
+                   c_scale=config.mcts.c_scale),
         compat=config.env_compat)
     state = jax.tree_util.tree_map(lambda x: x[None], board._state)
     _, result = mcts.get_action_probs(state, jax.random.PRNGKey(config.seed),

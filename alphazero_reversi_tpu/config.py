@@ -54,6 +54,16 @@ class MCTSConfig:
     c_puct: float = 1.0
     dirichlet_alpha: float = 0.03
     dirichlet_epsilon: float = 0.25
+    # search algorithm: "puct" (classic AlphaZero, the reference's) or
+    # "gumbel" (sequential halving with Gumbel, Danihelka et al. 2022 —
+    # mcts/gumbel.py), which keeps the policy-improvement property at very
+    # small simulation budgets (16-32). Gumbel ignores c_puct and the
+    # Dirichlet fields (exploration comes from the Gumbel draw) and uses the
+    # three fields below instead.
+    algorithm: str = "puct"
+    max_considered_actions: int = 16  # gumbel: root candidates (top-m)
+    c_visit: float = 50.0  # gumbel: sigma(q) visit offset
+    c_scale: float = 0.1  # gumbel: sigma(q) scale
     # static descent-depth bound: select/backup unroll this many levels per
     # simulation (deeper simulations are evaluated at the node reached,
     # mctx-style). PUCT trees at <=1000 sims rarely exceed ~15 levels.
@@ -132,6 +142,7 @@ class TournamentConfig:
     rounds: int = 20
     num_simulations: int = 500
     c_puct: float = 1.0
+    algorithm: str = "puct"  # arena search algorithm ("puct" | "gumbel")
     games_per_pair: int = 2  # per round, colors alternated
     temperature: float = 0.1
     output_dir: str = "tournament_results"

@@ -106,6 +106,74 @@ def _stage_bounds(num_simulations: int, num_stages: int) -> Tuple[int, ...]:
     return tuple(bounds)
 
 
+def expand_and_backup(net, variables, trees: tree_lib.Tree, pn: jax.Array,
+                      pa: jax.Array, pt: jax.Array, leaves: jax.Array,
+                      leaf_acts: jax.Array, eval_rows: jax.Array, slot0,
+                      root_to_move: jax.Array, compat: bool
+                      ) -> tree_lib.Tree:
+    """Selection-agnostic tail of a simulation round: evaluate the selected
+    leaves, expand them into contiguous slots, and back the values up — the
+    shared machinery of the PUCT (``run_search``) and Gumbel
+    (``gumbel.run_gumbel_search``) drivers.
+
+    ``pn``/``pa``/``pt`` are the ``[B, L*levels]`` lane-major path arrays
+    (node / action / to-move per visited level, ``node < 0`` on padding);
+    ``leaves``/``leaf_acts`` are ``[B, L]`` (``leaf_acts < 0`` marks a lane
+    that terminates without expansion); ``eval_rows`` is ``[B, L, K]`` — the
+    packed row of each lane's evaluation target (the leaf's parent row; the
+    leaf state is produced here by stepping it).
+    """
+    batch, L = leaves.shape
+    levels = pn.shape[1] // L
+
+    # ---------------- evaluate all L*B leaves at once ---------------
+    base_state = tree_lib.unpack_state(
+        eval_rows.reshape(batch * L, -1)[:, A:])
+    do_expand = (leaf_acts >= 0).reshape(batch * L)
+    stepped, _ = env.step(
+        base_state, jnp.maximum(leaf_acts.reshape(batch * L), 0),
+        compat=compat)
+    eval_state = jax.tree_util.tree_map(
+        lambda s, t: jnp.where(do_expand, t, s), base_state, stepped)
+    prior_c, value_c, legal_c = _evaluate(net, variables, eval_state,
+                                          compat)
+
+    # ------------- expand: L contiguous slots, ONE DUS --------------
+    trees = tree_lib.write_children_rows(
+        trees, slot0,
+        tree_lib.make_row(eval_state, prior_c, legal_c, value_c
+                          ).reshape(batch, L, -1))
+
+    # ------- backup + child link: one fused whole-round scatter -----
+    eval_tomove = eval_state.to_move.reshape(batch, L)  # [B, L]
+    value_bl = value_c.reshape(batch, L)
+    # per path entry: sign vs the to_move of its descent's evaluated
+    # state (entry j belongs to descent j // levels)
+    et_expand = jnp.repeat(eval_tomove, levels, axis=1)  # [B, L*levels]
+    v_expand = jnp.repeat(value_bl, levels, axis=1)
+    sign = jnp.where(pt == et_expand.astype(jnp.float32), 1.0, -1.0)
+
+    # in-round duplicate (leaf, action) selections: evaluate + back up
+    # again, link only the first (an edge's packed child slot must be
+    # added exactly once)
+    same = ((leaves[:, :, None] == leaves[:, None, :])
+            & (leaf_acts[:, :, None] == leaf_acts[:, None, :]))
+    earlier = jnp.tril(jnp.ones((L, L), jnp.bool_), k=-1)[None]
+    is_dup = (same & earlier).any(-1)
+    do_link = (leaf_acts >= 0) & ~is_dup
+    slots = slot0 + jnp.arange(L, dtype=jnp.int32)[None]  # [1, L]
+
+    trees = tree_lib.backup_and_link(
+        trees, pn, pa, sign * v_expand,
+        leaves, jnp.maximum(leaf_acts, 0),
+        jnp.broadcast_to(slots, leaves.shape), do_link)
+    rsign = jnp.where(eval_tomove == root_to_move[:, None], 1.0, -1.0)
+    return trees._replace(
+        root_visit=trees.root_visit + L,
+        root_vsum=trees.root_vsum + (rsign * value_bl).sum(-1),
+    )
+
+
 def _grow_tree(trees: tree_lib.Tree, capacity: int) -> tree_lib.Tree:
     """Zero-pad the node axis to ``capacity`` (slots above are unwritten)."""
     batch, old, k = trees.rows.shape
@@ -156,14 +224,15 @@ def run_search(net, variables: Dict[str, Any], root_states: env.EnvState,
     levels_cap = max(1, min(max_depth, num_simulations, 60))
 
     # --- root evaluation + install -------------------------------------
-    prior, _, legal = _evaluate(net, variables, root_states, compat)
+    prior, root_raw_value, legal = _evaluate(net, variables, root_states,
+                                             compat)
     if add_noise:
         prior = add_dirichlet_noise(prior, legal, key, dirichlet_alpha,
                                     dirichlet_epsilon)
 
     bounds = _stage_bounds(num_rounds, num_stages)
     trees = tree_lib.init_root(tree_lib.make_tree(batch, bounds[0] * L + 1),
-                               root_states, prior, legal)
+                               root_states, prior, legal, root_raw_value)
     root_to_move = root_states.to_move
     root_row = trees.rows[:, 0, :]
     root_p, root_lg = tree_lib.decode_prior_legal(root_row)
@@ -280,57 +349,10 @@ def run_search(net, variables: Dict[str, Any], root_states: env.EnvState,
         pn = jnp.stack(path_nodes, -1).reshape(batch, L * levels)
         pa = jnp.stack(path_actions, -1).reshape(batch, L * levels)
         pt = jnp.stack(path_tomove, -1).reshape(batch, L * levels)
-        leaves = leaf            # [B, L]
-        leaf_acts = leaf_action  # [B, L]
-        eval_rows = eval_row     # [B, L, K]
 
-        # ---------------- evaluate all L*B leaves at once ---------------
-        base_state = tree_lib.unpack_state(
-            eval_rows.reshape(batch * L, -1)[:, A:])
-        do_expand = (leaf_acts >= 0).reshape(batch * L)
-        stepped, _ = env.step(
-            base_state, jnp.maximum(leaf_acts.reshape(batch * L), 0),
-            compat=compat)
-        eval_state = jax.tree_util.tree_map(
-            lambda s, t: jnp.where(do_expand, t, s), base_state, stepped)
-        prior_c, value_c, legal_c = _evaluate(net, variables, eval_state,
-                                              compat)
-
-        # ------------- expand: L contiguous slots, ONE DUS --------------
-        slot0 = r * L + 1
-        trees = tree_lib.write_children_rows(
-            trees, slot0,
-            tree_lib.make_row(eval_state, prior_c, legal_c
-                              ).reshape(batch, L, -1))
-
-        # ------- backup + child link: one fused whole-round scatter -----
-        eval_tomove = eval_state.to_move.reshape(batch, L)  # [B, L]
-        value_bl = value_c.reshape(batch, L)
-        # per path entry: sign vs the to_move of its descent's evaluated
-        # state (entry j belongs to descent j // levels)
-        et_expand = jnp.repeat(eval_tomove, levels, axis=1)  # [B, L*levels]
-        v_expand = jnp.repeat(value_bl, levels, axis=1)
-        sign = jnp.where(pt == et_expand.astype(jnp.float32), 1.0, -1.0)
-
-        # in-round duplicate (leaf, action) selections: evaluate + back up
-        # again, link only the first (an edge's packed child slot must be
-        # added exactly once)
-        same = ((leaves[:, :, None] == leaves[:, None, :])
-                & (leaf_acts[:, :, None] == leaf_acts[:, None, :]))
-        earlier = jnp.tril(jnp.ones((L, L), jnp.bool_), k=-1)[None]
-        is_dup = (same & earlier).any(-1)
-        do_link = (leaf_acts >= 0) & ~is_dup
-        slots = slot0 + jnp.arange(L, dtype=jnp.int32)[None]  # [1, L]
-
-        trees = tree_lib.backup_and_link(
-            trees, pn, pa, sign * v_expand,
-            leaves, jnp.maximum(leaf_acts, 0),
-            jnp.broadcast_to(slots, leaves.shape), do_link)
-        rsign = jnp.where(eval_tomove == root_to_move[:, None], 1.0, -1.0)
-        return trees._replace(
-            root_visit=trees.root_visit + L,
-            root_vsum=trees.root_vsum + (rsign * value_bl).sum(-1),
-        )
+        return expand_and_backup(
+            net, variables, trees, pn, pa, pt, leaf, leaf_action,
+            eval_row, r * L + 1, root_to_move, compat)
 
       return sim_round
 
@@ -429,7 +451,25 @@ class MCTS:
         self._variables = new_variables
 
     def search_batch(self, root_states: env.EnvState, key: jax.Array,
-                     add_noise: bool = True) -> SearchResult:
+                     add_noise: bool = True):
+        """Run the configured search algorithm. Returns a ``SearchResult``
+        (``algorithm="puct"``) or a ``gumbel.GumbelResult``
+        (``algorithm="gumbel"`` — ``add_noise=False`` maps to a
+        deterministic ``gumbel_scale=0`` search)."""
+        if self.config.algorithm == "gumbel":
+            from . import gumbel as gumbel_lib
+            return gumbel_lib.run_gumbel_search(
+                self.net, self.variables, root_states, key,
+                num_simulations=self.config.num_simulations,
+                max_considered_actions=self.config.max_considered_actions,
+                c_visit=self.config.c_visit,
+                c_scale=self.config.c_scale,
+                gumbel_scale=1.0 if add_noise else 0.0,
+                max_depth=self.config.max_depth,
+                compat=self.compat,
+                num_stages=self.config.num_stages,
+                leaf_batch=self.config.batch_size,
+            )
         return run_search(
             self.net, self.variables, root_states, key,
             num_simulations=self.config.num_simulations,
@@ -445,7 +485,16 @@ class MCTS:
 
     def get_action_probs(self, root_states: env.EnvState, key: jax.Array,
                          temperature: float = 1.0, add_noise: bool = True
-                         ) -> Tuple[jax.Array, SearchResult]:
+                         ) -> Tuple[jax.Array, Any]:
+        if self.config.algorithm == "gumbel":
+            result = self.search_batch(root_states, key, add_noise=add_noise)
+            greedy = jax.nn.one_hot(result.chosen_action, A,
+                                    dtype=jnp.float32)
+            tempered = probs_with_temperature(result.action_probs,
+                                              jnp.float32(temperature))
+            probs = jnp.where(jnp.float32(temperature) < 1e-3, greedy,
+                              tempered)
+            return probs, result
         result = self._search_with_tt(root_states, key, add_noise)
         probs = probs_with_temperature(result.visit_counts,
                                        jnp.float32(temperature))

@@ -51,7 +51,9 @@ from ..ops.u64 import U64
 NUM_ACTIONS = env.NUM_ACTIONS
 A = NUM_ACTIONS
 
-# rows column layout: signed prior [0, A) then packed env state
+# rows column layout: signed prior [0, A) then packed env state, then the
+# node's own NN evaluation (raw value, player-to-move POV — consumed by the
+# Gumbel search's mixed-value Q completion; the PUCT path ignores it)
 PRIOR = slice(0, A)
 S_BLACK_HI = A
 S_BLACK_LO = A + 1
@@ -61,7 +63,8 @@ S_TO_MOVE = A + 4
 S_PASSED = A + 5
 S_DONE = A + 6
 S_WINNER = A + 7
-K = A + 8  # row width
+S_VALUE = A + 8
+K = A + 9  # row width
 
 # stats per-node layout (flat stride S): packed visits|child, then vsum
 STRIDE = 2 * A
@@ -132,11 +135,14 @@ def unpack_state(cols: jax.Array) -> EnvState:
     )
 
 
-def make_row(state: EnvState, prior: jax.Array, legal: jax.Array
-             ) -> jax.Array:
-    """Build packed rows [B, K]: sign-encoded prior, then env state."""
+def make_row(state: EnvState, prior: jax.Array, legal: jax.Array,
+             value: jax.Array | None = None) -> jax.Array:
+    """Build packed rows [B, K]: sign-encoded prior, env state, raw value."""
     signed = jnp.where(legal, prior, -1.0)
-    return jnp.concatenate([signed, pack_state(state)], axis=-1)
+    if value is None:
+        value = jnp.zeros(signed.shape[:-1], signed.dtype)
+    return jnp.concatenate([signed, pack_state(state), value[..., None]],
+                           axis=-1)
 
 
 def decode_prior_legal(row: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -146,10 +152,11 @@ def decode_prior_legal(row: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
 
 def init_root(tree: Tree, root_state: EnvState, prior: jax.Array,
-              legal: jax.Array) -> Tree:
+              legal: jax.Array, value: jax.Array | None = None) -> Tree:
     """Install the root at slot 0 (static index — no scatter)."""
     return tree._replace(
-        rows=tree.rows.at[:, 0, :].set(make_row(root_state, prior, legal)))
+        rows=tree.rows.at[:, 0, :].set(
+            make_row(root_state, prior, legal, value)))
 
 
 def write_children_rows(tree: Tree, slot: jax.Array, new_rows: jax.Array

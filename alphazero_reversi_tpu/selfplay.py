@@ -46,6 +46,7 @@ import numpy as np
 
 from .config import Config, MCTSConfig, SelfPlayConfig
 from .env import bitboard as env
+from .mcts import gumbel as gumbel_lib
 from .mcts import search as search_lib
 
 
@@ -86,7 +87,9 @@ def _outcome_value(final: env.EnvState, to_move: jax.Array) -> jax.Array:
 @functools.partial(
     jax.jit,
     static_argnames=("net", "num_games", "num_simulations", "max_depth",
-                     "max_moves", "compat", "num_stages", "leaf_batch"),
+                     "max_moves", "compat", "num_stages", "leaf_batch",
+                     "algorithm", "max_considered_actions", "c_visit",
+                     "c_scale"),
 )
 def play_games(net, variables: Dict[str, Any], key: jax.Array, *,
                num_games: int, num_simulations: int, c_puct: float,
@@ -94,7 +97,9 @@ def play_games(net, variables: Dict[str, Any], key: jax.Array, *,
                temp_threshold: int, temp_init: float, temp_final: float,
                max_depth: int = 64, max_moves: int = 60,
                compat: bool = False, num_stages: int = 6,
-               leaf_batch: int = 1,
+               leaf_batch: int = 1, algorithm: str = "puct",
+               max_considered_actions: int = 16, c_visit: float = 50.0,
+               c_scale: float = 0.1,
                init_states: env.EnvState | None = None) -> Trajectory:
     """Play ``num_games`` games in lockstep; one XLA program end to end.
 
@@ -102,7 +107,15 @@ def play_games(net, variables: Dict[str, Any], key: jax.Array, *,
     position — pass device-placed (e.g. mesh-sharded, see ``parallel.dp``)
     states to shard self-play across chips; XLA propagates the sharding
     through the whole program.
+
+    ``algorithm="gumbel"`` swaps the PUCT search for Gumbel sequential
+    halving (``mcts.gumbel``): the played move is the halving winner (the
+    Gumbel draw is the exploration — no Dirichlet noise, no temperature
+    sampling) and the recorded policy target is the *improved policy*
+    rather than the visit distribution.
     """
+    if algorithm not in ("puct", "gumbel"):
+        raise ValueError(f"unknown search algorithm {algorithm!r}")
     states = (init_states if init_states is not None
               else env.initial_state((num_games,)))
 
@@ -110,22 +123,33 @@ def play_games(net, variables: Dict[str, Any], key: jax.Array, *,
         states, t, step_key = operand
         search_key, sample_key = jax.random.split(step_key)
 
-        result = search_lib.run_search(
-            net, variables, states, search_key,
-            num_simulations=num_simulations, c_puct=c_puct,
-            dirichlet_alpha=dirichlet_alpha,
-            dirichlet_epsilon=dirichlet_epsilon,
-            max_depth=max_depth, compat=compat, add_noise=True,
-            num_stages=num_stages, leaf_batch=leaf_batch)
-
-        temp = jnp.where(t < temp_threshold, jnp.float32(temp_init),
-                         jnp.float32(temp_final))
-        probs = search_lib.probs_with_temperature(result.visit_counts, temp)
-        actions = search_lib.sample_actions(sample_key, probs)
+        if algorithm == "gumbel":
+            gres = gumbel_lib.run_gumbel_search(
+                net, variables, states, search_key,
+                num_simulations=num_simulations,
+                max_considered_actions=max_considered_actions,
+                c_visit=c_visit, c_scale=c_scale, gumbel_scale=1.0,
+                max_depth=max_depth, compat=compat,
+                num_stages=num_stages, leaf_batch=leaf_batch)
+            policy_target, actions = gres.action_probs, gres.chosen_action
+        else:
+            result = search_lib.run_search(
+                net, variables, states, search_key,
+                num_simulations=num_simulations, c_puct=c_puct,
+                dirichlet_alpha=dirichlet_alpha,
+                dirichlet_epsilon=dirichlet_epsilon,
+                max_depth=max_depth, compat=compat, add_noise=True,
+                num_stages=num_stages, leaf_batch=leaf_batch)
+            temp = jnp.where(t < temp_threshold, jnp.float32(temp_init),
+                             jnp.float32(temp_final))
+            probs = search_lib.probs_with_temperature(result.visit_counts,
+                                                      temp)
+            actions = search_lib.sample_actions(sample_key, probs)
+            policy_target = result.action_probs
 
         planes = env.canonical_planes(states, compat=compat)
         live = ~states.done
-        record = (planes, result.action_probs, states.to_move, live,
+        record = (planes, policy_target, states.to_move, live,
                   jnp.where(live, actions, -1))
 
         new_states, _ = env.step(states, actions, compat=compat)
@@ -210,6 +234,10 @@ def search_kwargs(mcts_config: MCTSConfig, sp_config: SelfPlayConfig,
         compat=compat,
         num_stages=mcts_config.num_stages,
         leaf_batch=mcts_config.batch_size,
+        algorithm=mcts_config.algorithm,
+        max_considered_actions=mcts_config.max_considered_actions,
+        c_visit=mcts_config.c_visit,
+        c_scale=mcts_config.c_scale,
     )
 
 
