@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from .config import ModelConfig
 from .env import bitboard as env
+from .mcts import gumbel as gumbel_lib
 from .mcts import search as search_lib
 from .models import resnet
 
@@ -144,7 +145,8 @@ def bench_mcts_sustained(batch: int = 1024, num_simulations: int = 400,
                          num_filters: int = 128, repeats: int = 3,
                          compute_dtype: str = "bfloat16",
                          leaf_batch: int = 1, num_stages: int = 6,
-                         max_depth: int = 24) -> Dict[str, float]:
+                         max_depth: int = 24,
+                         algorithm: str = "puct") -> Dict[str, float]:
     """Sustained MCTS-guided moves/s: ``moves`` consecutive search+step
     decisions inside ONE compiled program (the self-play inner loop,
     selfplay.play_games:151, with finished boards reset in place so every
@@ -168,15 +170,23 @@ def bench_mcts_sustained(batch: int = 1024, num_simulations: int = 400,
     def run(key):
         def body(states, k):
             sk, ak = jax.random.split(k)
-            result = search_lib.run_search(
-                net, variables, states, sk,
-                num_simulations=num_simulations, c_puct=1.0,
-                dirichlet_alpha=0.3, dirichlet_epsilon=0.25,
-                num_stages=num_stages, leaf_batch=leaf_batch,
-                max_depth=max_depth)
-            probs = search_lib.probs_with_temperature(
-                result.visit_counts, jnp.float32(1.0))
-            actions = search_lib.sample_actions(ak, probs)
+            if algorithm == "gumbel":
+                gres = gumbel_lib.run_gumbel_search(
+                    net, variables, states, sk,
+                    num_simulations=num_simulations,
+                    num_stages=num_stages, leaf_batch=leaf_batch,
+                    max_depth=max_depth)
+                actions = gres.chosen_action
+            else:
+                result = search_lib.run_search(
+                    net, variables, states, sk,
+                    num_simulations=num_simulations, c_puct=1.0,
+                    dirichlet_alpha=0.3, dirichlet_epsilon=0.25,
+                    num_stages=num_stages, leaf_batch=leaf_batch,
+                    max_depth=max_depth)
+                probs = search_lib.probs_with_temperature(
+                    result.visit_counts, jnp.float32(1.0))
+                actions = search_lib.sample_actions(ak, probs)
             ns, _ = env.step(states, actions)
             ns = jax.tree_util.tree_map(
                 lambda f, n: jnp.where(ns.done, f, n), fresh, ns)
@@ -191,6 +201,7 @@ def bench_mcts_sustained(batch: int = 1024, num_simulations: int = 400,
         "batch": batch,
         "num_simulations": num_simulations,
         "leaf_batch": leaf_batch,
+        "algorithm": algorithm,
         "moves_in_program": moves,
         "time_per_move_s": best / moves,
         "moves_per_s": batch * moves / best,

@@ -9,7 +9,8 @@ the driver-set north-star target of 1M env-steps/s/chip; ``mcts_*`` tracks
 the flagship search operating point (B=1024 games, 400 sims/move, 5x128
 bf16 net) and ``mcts_peak_*`` the fast operating point (tiny 1x16 net, 32
 sims — DummyModel scale, like the reference's own benchmark) against the
-50k moves/s/chip target (BASELINE.md — the reference itself publishes no numbers; its own
+50k moves/s/chip target, and ``gumbel_*`` the Gumbel sequential-halving
+search at that same point (mcts/gumbel.py) (BASELINE.md — the reference itself publishes no numbers; its own
 harnesses measure the same quantities: /root/reference/
 test_cython_performance_fixed.py:10-46 for env stepping and
 /root/reference/src/mcts/MCTS_benchmark.py:101-191 for search throughput;
@@ -118,6 +119,19 @@ def bench_mcts_peak(batch: int = 1024, sims: int = 32,
     return row["moves_per_s"]
 
 
+def bench_gumbel(batch: int = 1024, sims: int = 32,
+                 leaf_batch: int = 8, moves: int = 16) -> float:
+    """Gumbel sequential-halving search at the same fast operating point —
+    the algorithm that keeps AlphaZero's policy improvement at 16-32 sims
+    (mcts/gumbel.py), i.e. the strength-per-second cell."""
+    from alphazero_reversi_tpu.benchmarks import bench_mcts_sustained
+
+    row = bench_mcts_sustained(batch, sims, moves=moves,
+                               num_res_blocks=1, num_filters=16,
+                               leaf_batch=leaf_batch, algorithm="gumbel")
+    return row["moves_per_s"]
+
+
 def _start_watchdog(budget_s: float) -> None:
     """Hard-exit if the device stops responding mid-run: the axon relay can
     die (observed 2026-08-17 — jax calls then block forever in C++ land
@@ -151,6 +165,9 @@ def main() -> int:
     peak = bench_mcts_peak()
     print(f"mcts peak sustained (tiny net, 32 sims): {peak:.0f} moves/s",
           file=sys.stderr)
+    gumbel = bench_gumbel()
+    print(f"gumbel sustained (tiny net, 32 sims): {gumbel:.0f} moves/s",
+          file=sys.stderr)
     print(json.dumps({
         "metric": "env_steps_per_s",
         "value": round(value, 1),
@@ -161,6 +178,8 @@ def main() -> int:
         "mcts_peak_moves_per_s": round(peak, 1),
         "mcts_peak_operating_point": "tiny-1x16 net, 32 sims, leaf_batch 8",
         "mcts_peak_vs_baseline": round(peak / MCTS_NORTH_STAR, 4),
+        "gumbel_moves_per_s": round(gumbel, 1),
+        "gumbel_vs_baseline": round(gumbel / MCTS_NORTH_STAR, 4),
     }))
     return 0
 
