@@ -438,6 +438,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     ms.add_argument("--dtype", default="bfloat16")
     ms.add_argument("--leaf-batch", type=int, default=1)
     ms.add_argument("--stages", type=int, default=6)
+    ms.add_argument("--algorithm", choices=("puct", "gumbel"),
+                    default="puct")
 
     r = sub.add_parser("roofline")
     r.add_argument("--batch", type=int, default=1024)
@@ -470,7 +472,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         print(json.dumps(bench_mcts_sustained(
             args.batch, args.sims, args.moves, args.blocks, args.filters,
             compute_dtype=args.dtype, leaf_batch=args.leaf_batch,
-            num_stages=args.stages), indent=2))
+            num_stages=args.stages, algorithm=args.algorithm), indent=2))
     elif args.command == "roofline":
         print(json.dumps(bench_roofline(args.batch, args.sims,
                                         args.leaf_batches), indent=2))
