@@ -58,7 +58,10 @@ from . import tree as tree_lib
 from .search import _evaluate, _grow_tree, _stage_bounds, expand_and_backup
 
 A = env.NUM_ACTIONS
-_NEG = jnp.float32(-1e30)
+# plain Python float, NOT jnp.float32: a module-level jnp value would
+# initialize the XLA backend at import time, which breaks
+# jax.distributed.initialize in multi-process workers (test_multiprocess)
+_NEG = -1e30
 
 
 # --------------------------------------------------------------------------
