@@ -59,7 +59,9 @@ def _score_a(final: env.EnvState, a_color: jax.Array) -> jax.Array:
 
 def _make_side_probs(net, *, num_simulations: int, c_puct: float,
                      temperature: float, max_depth: int, compat: bool,
-                     leaf_batch: int = 1, algorithm: str = "puct"):
+                     leaf_batch: int = 1, algorithm: str = "puct",
+                     max_considered_actions: int = 16, c_visit: float = 50.0,
+                     c_scale: float = 0.1):
     """Policy for one side: full MCTS at the tournament temperature, or the
     uniform random baseline (arena.py:177-188).
 
@@ -67,7 +69,7 @@ def _make_side_probs(net, *, num_simulations: int, c_puct: float,
     (``gumbel_scale=0`` — the match-play analog of a noise-free PUCT
     search): at ~zero temperature the move is the sequential-halving
     winner; at higher temperatures actions sample from the tempered
-    improved policy."""
+    improved policy (``gumbel.play_probs``)."""
     if algorithm not in ("puct", "gumbel"):
         raise ValueError(f"unknown search algorithm {algorithm!r}")
 
@@ -77,14 +79,11 @@ def _make_side_probs(net, *, num_simulations: int, c_puct: float,
         if algorithm == "gumbel":
             gres = gumbel_lib.run_gumbel_search(
                 net, variables, states, skey,
-                num_simulations=num_simulations, gumbel_scale=0.0,
+                num_simulations=num_simulations,
+                max_considered_actions=max_considered_actions,
+                c_visit=c_visit, c_scale=c_scale, gumbel_scale=0.0,
                 max_depth=max_depth, compat=compat, leaf_batch=leaf_batch)
-            greedy = jax.nn.one_hot(gres.chosen_action, env.NUM_ACTIONS,
-                                    dtype=jnp.float32)
-            tempered = search_lib.probs_with_temperature(
-                gres.action_probs, jnp.float32(temperature))
-            return jnp.where(jnp.float32(temperature) < 1e-3, greedy,
-                             tempered)
+            return gumbel_lib.play_probs(gres, temperature)
         result = search_lib.run_search(
             net, variables, states, skey,
             num_simulations=num_simulations, c_puct=c_puct,
@@ -103,7 +102,8 @@ def _make_side_probs(net, *, num_simulations: int, c_puct: float,
                      "max_moves", "compat", "a_random", "b_random",
                      "pass_slack", "return_final", "num_simulations_b",
                      "leaf_batch", "leaf_batch_b", "algorithm",
-                     "algorithm_b"),
+                     "algorithm_b", "max_considered_actions", "c_visit",
+                     "c_scale"),
 )
 def play_pair(net, vars_a, vars_b, key: jax.Array, *, num_games: int,
               num_simulations: int, c_puct: float, temperature: float,
@@ -112,7 +112,9 @@ def play_pair(net, vars_a, vars_b, key: jax.Array, *, num_games: int,
               pass_slack: int = 16, return_final: bool = False,
               num_simulations_b: Optional[int] = None, leaf_batch: int = 1,
               leaf_batch_b: Optional[int] = None, algorithm: str = "puct",
-              algorithm_b: Optional[str] = None) -> jax.Array:
+              algorithm_b: Optional[str] = None,
+              max_considered_actions: int = 16, c_visit: float = 50.0,
+              c_scale: float = 0.1) -> jax.Array:
     """Play ``num_games`` games of A vs B, searching only for the mover.
 
     A plays BLACK in the first ``num_games // 2`` games and WHITE in the rest
@@ -146,10 +148,12 @@ def play_pair(net, vars_a, vars_b, key: jax.Array, *, num_games: int,
     # strength cost of multi-leaf rounds (leaf_batch vs leaf_batch_b at
     # equal sims, refbench/leafbatch_quality.py) or Gumbel-vs-PUCT at
     # matched budgets (algorithm vs algorithm_b, refbench/gumbel_strength.py).
+    gumbel_kw = dict(max_considered_actions=max_considered_actions,
+                     c_visit=c_visit, c_scale=c_scale)
     probs_a_fn = _make_side_probs(
         net, num_simulations=num_simulations, c_puct=c_puct,
         temperature=temperature, max_depth=max_depth, compat=compat,
-        leaf_batch=leaf_batch, algorithm=algorithm)
+        leaf_batch=leaf_batch, algorithm=algorithm, **gumbel_kw)
     probs_b_fn = _make_side_probs(
         net,
         num_simulations=(num_simulations if num_simulations_b is None
@@ -157,7 +161,8 @@ def play_pair(net, vars_a, vars_b, key: jax.Array, *, num_games: int,
         c_puct=c_puct, temperature=temperature, max_depth=max_depth,
         compat=compat,
         leaf_batch=leaf_batch if leaf_batch_b is None else leaf_batch_b,
-        algorithm=algorithm if algorithm_b is None else algorithm_b)
+        algorithm=algorithm if algorithm_b is None else algorithm_b,
+        **gumbel_kw)
 
     def half_ply(states, step_key, sched_color: int):
         """One ply at statically-known scheduled color: one half-batch
@@ -262,7 +267,10 @@ class Arena:
             compat=self.compat,
             a_random=a.variables is None,
             b_random=b.variables is None,
-            algorithm=cfg.algorithm)
+            algorithm=cfg.algorithm,
+            max_considered_actions=cfg.max_considered_actions,
+            c_visit=cfg.c_visit,
+            c_scale=cfg.c_scale)
         return np.asarray(scores)
 
     def run_tournament(self, key: jax.Array,

@@ -127,6 +127,31 @@ def cmd_tournament(args) -> int:
     return 0
 
 
+def _parse_move_token(token: str):
+    """Parse one ``analyze`` move token — ``pass``, algebraic (``d3``), or
+    ``row,col`` — into a validated (row, col) pair. Raises ValueError with a
+    human-readable reason on anything malformed or out of range (an
+    unvalidated ``i1`` would otherwise silently wrap to a different
+    square)."""
+    t = token.strip().lower()
+    if t == "pass":
+        return -1, -1
+    if "," in t:
+        parts = t.split(",")
+        if len(parts) != 2 or not all(p.strip().isdigit() for p in parts):
+            raise ValueError("expected ROW,COL with integers 0-7")
+        r, c = (int(p) for p in parts)
+    else:
+        if (len(t) < 2 or not ("a" <= t[0] <= "h")
+                or not t[1:].isdigit()):
+            raise ValueError(
+                "expected algebraic a1-h8, ROW,COL, or 'pass'")
+        c, r = ord(t[0]) - ord("a"), int(t[1:]) - 1
+    if not (0 <= r < 8 and 0 <= c < 8):
+        raise ValueError(f"square ({r},{c}) is off the 8x8 board")
+    return r, c
+
+
 def cmd_analyze(args) -> int:
     """Position analysis: play the given moves from the initial board, run a
     full noise-free search, print the top moves with visit counts and the
@@ -152,14 +177,11 @@ def cmd_analyze(args) -> int:
 
     board = Board(compat=config.env_compat)
     for token in args.moves:
-        if token.lower() == "pass":
-            r, c = -1, -1
-        else:  # algebraic (e.g. d3) or r,c
-            t = token.lower()
-            if "," in t:
-                r, c = (int(x) for x in t.split(","))
-            else:
-                c, r = ord(t[0]) - ord("a"), int(t[1:]) - 1
+        try:
+            r, c = _parse_move_token(token)
+        except ValueError as e:
+            print(f"bad move {token!r}: {e}", file=sys.stderr)
+            return 1
         if not board.make_move(r, c):
             print(f"illegal move {token!r} at this position",
                   file=sys.stderr)
@@ -167,6 +189,13 @@ def cmd_analyze(args) -> int:
     print(board)
 
     sims = args.sims or config.mcts.num_simulations
+    leaf_batch = max(1, config.mcts.batch_size)
+    if sims % leaf_batch:
+        rounded = -(-sims // leaf_batch) * leaf_batch
+        print(f"note: rounding --sims {sims} up to {rounded} "
+              f"(a multiple of mcts.batch_size={leaf_batch})",
+              file=sys.stderr)
+        sims = rounded
     mcts = search_lib.MCTS(
         net, variables,
         MCTSConfig(num_simulations=sims, c_puct=config.mcts.c_puct,
@@ -213,6 +242,13 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="alphazero-reversi-tpu",
         description="TPU-native AlphaZero Reversi framework")
+    p.add_argument(
+        "--platform", default=None, metavar="NAME",
+        help="force the JAX platform (e.g. 'cpu') before any backend "
+             "touch. More robust than JAX_PLATFORMS on hosts whose "
+             "site setup pre-registers an accelerator plugin; use it to "
+             "run the CLI on CPU-only machines or when the accelerator "
+             "is unavailable")
     sub = p.add_subparsers(dest="command", required=True)
 
     c = sub.add_parser("create-config", help="write a default config file")
@@ -279,6 +315,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.platform:
+        # must land before the first backend touch — every command defers
+        # device work until after this point
+        jax.config.update("jax_platforms", args.platform)
     return args.fn(args)
 
 

@@ -143,6 +143,13 @@ class TournamentConfig:
     num_simulations: int = 500
     c_puct: float = 1.0
     algorithm: str = "puct"  # arena search algorithm ("puct" | "gumbel")
+    # gumbel-search hyperparameters (used when algorithm == "gumbel"; same
+    # meaning as the MCTSConfig fields — kept separate so evaluation can be
+    # tuned independently of self-play, but defaulted from mcts.* by
+    # Config.from_dict when the JSON omits them)
+    max_considered_actions: int = 16
+    c_visit: float = 50.0
+    c_scale: float = 0.1
     games_per_pair: int = 2  # per round, colors alternated
     temperature: float = 0.1
     output_dir: str = "tournament_results"
@@ -221,6 +228,15 @@ class Config:
         if int(mcts_raw.get("batch_size", 1) or 0) < 1:
             mcts_raw["batch_size"] = 1
         d["mcts"] = mcts_raw
+        # tournament gumbel hyperparameters default from the mcts section:
+        # a config that tunes mcts.max_considered_actions/c_visit/c_scale
+        # evaluates with the same searcher it trains with, unless the
+        # tournament section overrides explicitly
+        tour_raw = dict(d.get("tournament", {}))
+        for field in ("max_considered_actions", "c_visit", "c_scale"):
+            if field not in tour_raw and field in mcts_raw:
+                tour_raw[field] = mcts_raw[field]
+        d["tournament"] = tour_raw
 
         def sub(section_cls, key):
             raw = dict(d.get(key, {}))

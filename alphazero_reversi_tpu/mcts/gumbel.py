@@ -55,7 +55,8 @@ import numpy as np
 
 from ..env import bitboard as env
 from . import tree as tree_lib
-from .search import _evaluate, _grow_tree, _stage_bounds, expand_and_backup
+from .search import (_evaluate, _grow_tree, _stage_bounds, expand_and_backup,
+                     probs_with_temperature)
 
 A = env.NUM_ACTIONS
 # plain Python float, NOT jnp.float32: a module-level jnp value would
@@ -161,6 +162,18 @@ class GumbelResult(NamedTuple):
     chosen_action: jax.Array  # [B] sequential-halving winner (the move)
     root_value: jax.Array  # [B] mean root value (root player POV)
     tree: tree_lib.Tree
+
+
+def play_probs(result: GumbelResult, temperature) -> jax.Array:
+    """Per-game action distribution for PLAY (not training) at a given
+    temperature: at ~zero temperature the move is the sequential-halving
+    winner (the paper's action selection); above it, actions sample from
+    the tempered improved policy. Single definition shared by
+    ``MCTS.get_action_probs`` and the arena's per-side policies."""
+    temperature = jnp.float32(temperature)
+    greedy = jax.nn.one_hot(result.chosen_action, A, dtype=jnp.float32)
+    tempered = probs_with_temperature(result.action_probs, temperature)
+    return jnp.where(temperature < 1e-3, greedy, tempered)
 
 
 @functools.partial(

@@ -486,25 +486,21 @@ class MCTS:
     def get_action_probs(self, root_states: env.EnvState, key: jax.Array,
                          temperature: float = 1.0, add_noise: bool = True
                          ) -> Tuple[jax.Array, Any]:
-        if self.config.algorithm == "gumbel":
-            result = self.search_batch(root_states, key, add_noise=add_noise)
-            greedy = jax.nn.one_hot(result.chosen_action, A,
-                                    dtype=jnp.float32)
-            tempered = probs_with_temperature(result.action_probs,
-                                              jnp.float32(temperature))
-            probs = jnp.where(jnp.float32(temperature) < 1e-3, greedy,
-                              tempered)
-            return probs, result
         result = self._search_with_tt(root_states, key, add_noise)
+        if self.config.algorithm == "gumbel":
+            from . import gumbel as gumbel_lib
+            return gumbel_lib.play_probs(result, temperature), result
         probs = probs_with_temperature(result.visit_counts,
                                        jnp.float32(temperature))
         return probs, result
 
     def _search_with_tt(self, root_states: env.EnvState, key: jax.Array,
-                        add_noise: bool) -> SearchResult:
+                        add_noise: bool):
         """Search, short-circuited through the transposition table when the
         query is cacheable: batch 1 (host match play) and noise-free (a
-        Dirichlet-noised search is not a function of the position)."""
+        Dirichlet-noised PUCT search is not a function of the position;
+        neither is a gumbel_scale>0 Gumbel draw — ``add_noise=False`` maps
+        to the deterministic ``gumbel_scale=0`` search, which is)."""
         tt = self.transposition_table
         cacheable = (tt is not None and not add_noise
                      and root_states.to_move.shape == (1,))
@@ -518,6 +514,25 @@ class MCTS:
         one = jax.tree_util.tree_map(lambda x: x[0], root_states)
         black, white = u64_lib.to_int(one.black), u64_lib.to_int(one.white)
         to_move = int(one.to_move)
+        if self.config.algorithm == "gumbel":
+            from . import gumbel as gumbel_lib
+            hit = tt.lookup_gumbel(black, white, to_move)
+            if hit is not None:
+                counts, value, probs, chosen = hit
+                return gumbel_lib.GumbelResult(
+                    visit_counts=jnp.asarray(counts, jnp.float32)[None],
+                    action_probs=jnp.asarray(probs, jnp.float32)[None],
+                    chosen_action=jnp.asarray([chosen], jnp.int32),
+                    root_value=jnp.asarray([value], jnp.float32),
+                    tree=None)
+            result = self.search_batch(root_states, key, add_noise=False)
+            tt.store(black, white, to_move,
+                     np.asarray(result.visit_counts[0], np.float32),
+                     float(np.asarray(result.root_value[0])),
+                     action_probs=np.asarray(result.action_probs[0],
+                                             np.float32),
+                     chosen_action=int(np.asarray(result.chosen_action[0])))
+            return result
         hit = tt.lookup(black, white, to_move)
         if hit is not None:
             counts, value = hit

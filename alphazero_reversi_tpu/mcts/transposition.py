@@ -33,7 +33,8 @@ from .. import symmetry, zobrist
 
 
 class TranspositionTable:
-    """LRU-bounded ``canonical hash -> (exact hash, visit_counts, value)``.
+    """LRU-bounded ``canonical hash -> (exact hash, visit_counts, value[,
+    action_probs, chosen_action])``.
 
     ``lookup``/``store`` take host bitboard ints (LSB-first square order)
     plus the side to move — the representation of ``env.game.Board`` and
@@ -41,6 +42,11 @@ class TranspositionTable:
     """
 
     def __init__(self, capacity: int = 100_000, use_symmetry: bool = True):
+        # Entries store (exact_hash, visit_counts, value, probs, chosen):
+        # ``probs``/``chosen`` are the Gumbel search's improved policy and
+        # sequential-halving winner (None for PUCT entries — the two
+        # algorithms' results are not interchangeable, so a PUCT entry never
+        # satisfies a Gumbel query and vice versa; see lookup/lookup_gumbel).
         """``use_symmetry=False`` keys by the exact position only. Required
         when the RULES are not dihedral-equivariant — compat mode's
         edge-wrap/mis-masked-flip quirks single out the east/west directions
@@ -52,8 +58,9 @@ class TranspositionTable:
         self.use_symmetry = use_symmetry
         self.hits = 0
         self.misses = 0
-        self._store: OrderedDict[int, Tuple[int, np.ndarray, float]] = \
-            OrderedDict()
+        self._store: OrderedDict[
+            int, Tuple[int, np.ndarray, float, Optional[np.ndarray],
+                       Optional[int]]] = OrderedDict()
 
     def __len__(self) -> int:
         return len(self._store)
@@ -69,36 +76,81 @@ class TranspositionTable:
         return [zobrist.hash_ints(black, white, to_move)]
 
     def store(self, black: int, white: int, to_move: int,
-              visit_counts: np.ndarray, value: float) -> None:
+              visit_counts: np.ndarray, value: float,
+              action_probs: Optional[np.ndarray] = None,
+              chosen_action: Optional[int] = None) -> None:
+        """``action_probs``/``chosen_action`` mark a Gumbel-search entry
+        (improved policy + sequential-halving winner); omit for PUCT."""
         hashes = self._hashes(black, white, to_move)
         canonical = min(hashes)
+        probs = (None if action_probs is None
+                 else np.asarray(action_probs, np.float32).copy())
+        chosen = None if chosen_action is None else int(chosen_action)
         self._store[canonical] = (hashes[0], np.asarray(visit_counts,
                                                         np.float32).copy(),
-                                  float(value))
+                                  float(value), probs, chosen)
         self._store.move_to_end(canonical)
         while len(self._store) > self.capacity:
             self._store.popitem(last=False)
 
-    def lookup(self, black: int, white: int, to_move: int
-               ) -> Optional[Tuple[np.ndarray, float]]:
-        """Returns ``(visit_counts, value)`` oriented to the QUERY position,
-        or None. A hit through symmetry ``s`` (stored == transform_s(query))
-        permutes the stored counts back by ``INVERSE[s]``."""
+    @staticmethod
+    def _permute_actions(arr: np.ndarray, inv: int) -> np.ndarray:
+        out = np.empty_like(arr)
+        out[:64] = arr[symmetry.PERMS[inv]]
+        out[64:] = arr[64:]
+        return out
+
+    def _lookup_entry(self, black: int, white: int, to_move: int):
+        """Shared probe: returns ``(entry, inv_perm)`` for a symmetry-exact
+        hit (entry oriented as STORED; ``inv`` maps it to the query), else
+        None. Counts a miss on failure; the caller counts the hit once it
+        confirms the entry kind matches its query."""
         hashes = self._hashes(black, white, to_move)
         entry = self._store.get(min(hashes))
-        if entry is None:
-            self.misses += 1
-            return None
-        stored_hash, counts, value = entry
-        for s, h in enumerate(hashes):
-            if h == stored_hash:
-                self.hits += 1
-                self._store.move_to_end(min(hashes))
-                inv = int(symmetry.INVERSE[s])
-                out = np.empty_like(counts)
-                out[:64] = counts[symmetry.PERMS[inv]]
-                out[64:] = counts[64:]
-                return out, value
-        # canonical collision without an exact symmetry match: treat as miss
+        if entry is not None:
+            stored_hash = entry[0]
+            for s, h in enumerate(hashes):
+                if h == stored_hash:
+                    self._store.move_to_end(min(hashes))
+                    return entry, int(symmetry.INVERSE[s])
+        # absent, or canonical collision without an exact symmetry match
         self.misses += 1
         return None
+
+    def lookup(self, black: int, white: int, to_move: int
+               ) -> Optional[Tuple[np.ndarray, float]]:
+        """PUCT query: ``(visit_counts, value)`` oriented to the QUERY
+        position, or None. A hit through symmetry ``s`` (stored ==
+        transform_s(query)) permutes the stored counts back by
+        ``INVERSE[s]``. Gumbel entries do not satisfy a PUCT query."""
+        probe = self._lookup_entry(black, white, to_move)
+        if probe is None:
+            return None
+        (_, counts, value, probs, _), inv = probe
+        if probs is not None:  # gumbel entry: wrong kind for this query
+            self.misses += 1
+            return None
+        self.hits += 1
+        return self._permute_actions(counts, inv), value
+
+    def lookup_gumbel(self, black: int, white: int, to_move: int
+                      ) -> Optional[Tuple[np.ndarray, float, np.ndarray,
+                                          int]]:
+        """Gumbel query: ``(visit_counts, value, action_probs,
+        chosen_action)`` oriented to the QUERY position, or None. The chosen
+        action maps through the inverse square permutation (pass stays
+        pass). PUCT entries do not satisfy a Gumbel query."""
+        probe = self._lookup_entry(black, white, to_move)
+        if probe is None:
+            return None
+        (_, counts, value, probs, chosen), inv = probe
+        if probs is None:  # puct entry: wrong kind for this query
+            self.misses += 1
+            return None
+        self.hits += 1
+        if chosen < 64:
+            # counts_query[q] = counts_stored[PERMS[inv][q]], so the stored
+            # winner a lands at the query index q with PERMS[inv][q] == a
+            chosen = int(np.argsort(symmetry.PERMS[inv])[chosen])
+        return (self._permute_actions(counts, inv), value,
+                self._permute_actions(probs, inv), chosen)

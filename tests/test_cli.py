@@ -101,3 +101,46 @@ def test_analyze_command(tmp_path, capsys):
 
     rc = cli.main(["analyze", "a1", "--config", p])
     assert rc == 1  # illegal opening move
+
+
+def test_analyze_move_parsing_and_sims_rounding(tmp_path, capsys):
+    """Malformed/off-board analyze tokens fail cleanly (no traceback, no
+    silent wrap of e.g. 'i1' onto a different square), and --sims not
+    divisible by mcts.batch_size rounds up with a notice."""
+    from alphazero_reversi_tpu import cli
+    from alphazero_reversi_tpu.config import Config
+
+    cfg = Config()
+    cfg.model.num_res_blocks = 1
+    cfg.model.num_filters = 8
+    cfg.model.compute_dtype = "float32"
+    cfg.mcts.num_simulations = 8
+    cfg.mcts.max_depth = 4
+    cfg.mcts.batch_size = 4
+    p = str(tmp_path / "cfg.json")
+    cfg.save(p)
+
+    for bad in ("d", "i1", "d9", "3,x", "9,9", "dd"):
+        rc = cli.main(["analyze", bad, "--config", p])
+        err = capsys.readouterr().err
+        assert rc == 1, bad
+        assert "bad move" in err, (bad, err)
+
+    rc = cli.main(["analyze", "d3", "--config", p, "--sims", "10"])
+    captured = capsys.readouterr()
+    assert rc == 0
+    assert "rounding --sims 10 up to 12" in captured.err
+    assert "[12 simulations]" in captured.out
+
+
+def test_platform_flag_parses(tmp_path, capsys):
+    """--platform forces jax_platforms before dispatch (CPU-only hosts)."""
+    from alphazero_reversi_tpu import cli
+    from alphazero_reversi_tpu.config import Config
+
+    cfg = Config()
+    p = str(tmp_path / "cfg.json")
+    cfg.save(p)
+    rc = cli.main(["--platform", "cpu", "analyze", "zz", "--config", p])
+    assert rc == 1  # parse error path — reached past the platform switch
+    assert "bad move" in capsys.readouterr().err

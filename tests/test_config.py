@@ -71,3 +71,24 @@ def test_legacy_batch_size_zero_migrates():
     assert cfg.mcts.batch_size == 1
     cfg = Config.from_dict({"mcts": {"batch_size": 4}})
     assert cfg.mcts.batch_size == 4
+
+
+def test_tournament_gumbel_defaults_from_mcts():
+    """tournament.{max_considered_actions,c_visit,c_scale} default from the
+    mcts section so evaluation searches like self-play unless explicitly
+    overridden (round-2 review finding: the arena silently used hardcoded
+    Gumbel hyperparameters)."""
+    from alphazero_reversi_tpu.config import Config
+
+    d = {"mcts": {"algorithm": "gumbel", "max_considered_actions": 4,
+                  "c_visit": 25.0, "c_scale": 0.2},
+         "tournament": {"algorithm": "gumbel"}}
+    cfg = Config.from_dict(d)
+    assert cfg.tournament.max_considered_actions == 4
+    assert cfg.tournament.c_visit == 25.0
+    assert cfg.tournament.c_scale == 0.2
+
+    d["tournament"]["max_considered_actions"] = 8
+    cfg = Config.from_dict(d)
+    assert cfg.tournament.max_considered_actions == 8  # explicit wins
+    assert cfg.tournament.c_visit == 25.0  # others still inherited

@@ -239,3 +239,52 @@ def test_completed_q_sigma_ordering():
     assert sig[0, 3] == 0.0  # illegal zeroed
     # unvisited completion sits between the extremes (mixed value)
     assert sig[0, 1] <= sig[0, 2] <= sig[0, 0]
+
+
+def test_gumbel_mcts_uses_transposition_table(net_and_vars):
+    """algorithm='gumbel' MCTS consults the TT for deterministic batch-1
+    queries: second identical query is a hit with an identical result, and
+    noisy (gumbel_scale>0) queries bypass the table."""
+    from alphazero_reversi_tpu.mcts.transposition import TranspositionTable
+
+    net, variables = net_and_vars
+    tt = TranspositionTable()
+    cfg = MCTSConfig(num_simulations=8, max_depth=4, algorithm="gumbel",
+                     max_considered_actions=4)
+    mcts = mcts_search.MCTS(net, variables, cfg, transposition_table=tt)
+    states = env.initial_state((1,))
+
+    p1, r1 = mcts.get_action_probs(states, jax.random.PRNGKey(1),
+                                   add_noise=False)
+    assert tt.misses == 1 and tt.hits == 0 and len(tt) == 1
+    p2, r2 = mcts.get_action_probs(states, jax.random.PRNGKey(2),
+                                   add_noise=False)
+    assert tt.hits == 1
+    assert np.array_equal(np.asarray(p1), np.asarray(p2))
+    assert int(r1.chosen_action[0]) == int(r2.chosen_action[0])
+    assert np.allclose(np.asarray(r1.action_probs),
+                       np.asarray(r2.action_probs))
+    assert np.array_equal(np.asarray(r1.visit_counts),
+                          np.asarray(r2.visit_counts))
+
+    # noised queries (a fresh Gumbel draw) are not cacheable
+    mcts.get_action_probs(states, jax.random.PRNGKey(3), add_noise=True)
+    assert tt.hits == 1 and len(tt) == 1
+
+
+def test_play_probs_blend(net_and_vars):
+    """gumbel.play_probs: ~zero temperature plays the halving winner
+    one-hot; higher temperatures temper the improved policy."""
+    net, variables = net_and_vars
+    states = env.initial_state((B,))
+    res = gumbel.run_gumbel_search(
+        net, variables, states, jax.random.PRNGKey(0), num_simulations=8,
+        max_considered_actions=4, gumbel_scale=0.0, max_depth=4)
+    greedy = np.asarray(gumbel.play_probs(res, 0.0))
+    assert np.array_equal(greedy.argmax(-1), np.asarray(res.chosen_action))
+    assert np.allclose(greedy.max(-1), 1.0)
+    soft = np.asarray(gumbel.play_probs(res, 1.0))
+    assert np.allclose(soft.sum(-1), 1.0, atol=1e-5)
+    assert np.allclose(
+        soft, np.asarray(mcts_search.probs_with_temperature(
+            res.action_probs, jnp.float32(1.0))))

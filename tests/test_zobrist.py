@@ -245,3 +245,51 @@ def test_tt_invalidated_on_variables_swap():
     p2, _ = mcts.get_action_probs(states, jax.random.PRNGKey(2),
                                   add_noise=False)
     assert tt.misses == 2  # re-searched with the new weights
+
+
+def test_transposition_gumbel_entries_kind_and_symmetry():
+    """Gumbel entries carry (action_probs, chosen_action), never satisfy a
+    PUCT query (and vice versa), and a symmetry hit permutes the chosen
+    action along with the arrays (pass stays pass)."""
+    tt = TranspositionTable()
+    black, white = (1 << 19) | (1 << 28) | (1 << 35), (1 << 27) | (1 << 44)
+    counts = np.zeros(65, np.float32)
+    counts[19], counts[26] = 12.0, 4.0
+    probs = np.zeros(65, np.float32)
+    probs[19], probs[26] = 0.7, 0.3
+    tt.store(black, white, env.BLACK, counts, 0.1,
+             action_probs=probs, chosen_action=19)
+
+    # kind separation: a PUCT query misses on a Gumbel entry
+    assert tt.lookup(black, white, env.BLACK) is None
+    got = tt.lookup_gumbel(black, white, env.BLACK)
+    assert got is not None
+    c, v, p, chosen = got
+    assert chosen == 19 and v == np.float32(0.1)
+    assert np.array_equal(c, counts) and np.array_equal(p, probs)
+
+    # symmetry hit: arrays AND the winner permute to the query frame
+    for s in range(1, symmetry.NUM_SYMS):
+        tb = zobrist.transform_bits(black, s)
+        tw = zobrist.transform_bits(white, s)
+        c, v, p, chosen = tt.lookup_gumbel(tb, tw, env.BLACK)
+        expected_c = np.concatenate([counts[symmetry.PERMS[s]], counts[64:]])
+        expected_p = np.concatenate([probs[symmetry.PERMS[s]], probs[64:]])
+        assert np.array_equal(c, expected_c), f"sym {s}"
+        assert np.array_equal(p, expected_p), f"sym {s}"
+        assert chosen == int(np.where(symmetry.PERMS[s] == 19)[0][0]), \
+            f"sym {s}"
+
+    # a PUCT entry never satisfies a Gumbel query
+    tt2 = TranspositionTable()
+    tt2.store(black, white, env.BLACK, counts, 0.1)
+    assert tt2.lookup_gumbel(black, white, env.BLACK) is None
+    assert tt2.lookup(black, white, env.BLACK) is not None
+
+    # a stored pass winner survives symmetry unchanged
+    tt3 = TranspositionTable()
+    tt3.store(black, white, env.BLACK, counts, 0.0,
+              action_probs=probs, chosen_action=64)
+    tb = zobrist.transform_bits(black, 3)
+    tw = zobrist.transform_bits(white, 3)
+    assert tt3.lookup_gumbel(tb, tw, env.BLACK)[3] == 64
