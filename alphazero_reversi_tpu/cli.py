@@ -196,6 +196,8 @@ def cmd_analyze(args) -> int:
               f"(a multiple of mcts.batch_size={leaf_batch})",
               file=sys.stderr)
         sims = rounded
+    solve_empties = (args.solve if args.solve is not None
+                     else config.mcts.exact_endgame_empties)
     mcts = search_lib.MCTS(
         net, variables,
         MCTSConfig(num_simulations=sims, c_puct=config.mcts.c_puct,
@@ -204,14 +206,23 @@ def cmd_analyze(args) -> int:
                    algorithm=config.mcts.algorithm,
                    max_considered_actions=config.mcts.max_considered_actions,
                    c_visit=config.mcts.c_visit,
-                   c_scale=config.mcts.c_scale),
+                   c_scale=config.mcts.c_scale,
+                   exact_endgame_empties=solve_empties),
         compat=config.env_compat)
     state = jax.tree_util.tree_map(lambda x: x[None], board._state)
     _, result = mcts.get_action_probs(state, jax.random.PRNGKey(config.seed),
                                       temperature=1.0, add_noise=False)
+    mover = "black" if board.current_player == 1 else "white"
+    if isinstance(result, search_lib.ExactResult):
+        a = int(result.chosen_action[0])
+        name = "pass" if a == 64 else f"{chr(ord('a') + a % 8)}{a // 8 + 1}"
+        print(f"\nexact endgame solve ({mover} to move): "
+              f"{result.disc_diff:+d} discs under optimal play   "
+              f"[{result.nodes} solver nodes]")
+        print(f"  optimal move: {name}")
+        return 0
     vc = np.asarray(result.visit_counts[0])
     value = float(np.asarray(result.root_value[0]))
-    mover = "black" if board.current_player == 1 else "white"
     print(f"\nroot value ({mover} to move): {value:+.3f}   "
           f"[{sims} simulations]")
     order = np.argsort(vc)[::-1]
@@ -300,6 +311,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "untrained net)")
     a.add_argument("--sims", type=int, default=None)
     a.add_argument("--top", type=int, default=8)
+    a.add_argument(
+        "--solve", type=int, default=None, metavar="EMPTIES",
+        help="solve the position exactly (native alpha-beta, "
+             "env/endgame.py) when it has at most EMPTIES empty squares, "
+             "overriding mcts.exact_endgame_empties. ~20 empties is "
+             "seconds on one core; beyond that grows fast")
     a.set_defaults(fn=cmd_analyze)
 
     i = sub.add_parser(

@@ -79,6 +79,13 @@ class MCTSConfig:
     # (tested); cuts the per-round full-pass costs that scale with tree
     # bytes. 1 disables.
     num_stages: int = 6
+    # exact endgame solving on the HOST play path (mcts.search.MCTS /
+    # analyze CLI): when the position has <= this many empty squares, play
+    # the native alpha-beta solver's optimal move instead of searching
+    # (env/endgame.py — an extension beyond the reference, which plays
+    # endgames from search statistics alone). 0 disables. Does not affect
+    # jitted/batched device search (self-play, arena).
+    exact_endgame_empties: int = 0
 
 
 @dataclass

@@ -55,6 +55,21 @@ class SearchResult(NamedTuple):
     tree: tree_lib.Tree  # final packed trees (for inspection/tests)
 
 
+class ExactResult(NamedTuple):
+    """Outcome of an exact endgame solve on the host play path
+    (``MCTSConfig.exact_endgame_empties``; env/endgame.py). Mirrors the
+    ``SearchResult`` fields consumers read (visit_counts / action_probs /
+    root_value / chosen_action) so it can stand in for either search
+    algorithm's result, plus the solver's native outputs."""
+
+    visit_counts: jax.Array  # [1, A] one-hot at the optimal move
+    action_probs: jax.Array  # [1, A] one-hot at the optimal move
+    root_value: jax.Array  # [1] game-theoretic value: sign(disc_diff)
+    chosen_action: jax.Array  # [1] the optimal move
+    disc_diff: int  # exact final disc differential (mover - opponent)
+    nodes: int  # solver nodes visited
+
+
 def add_dirichlet_noise(prior: jax.Array, legal: jax.Array, key: jax.Array,
                         alpha: float, epsilon: float) -> jax.Array:
     """Mix root prior with Dirichlet noise over the legal actions
@@ -436,6 +451,13 @@ class MCTS:
                     "transposition table with existing entries")
             transposition_table.use_symmetry = False
         self.transposition_table = transposition_table
+        # exact endgame solving (env/endgame.py, native alpha-beta) for
+        # batch-1 host queries at <= exact_endgame_empties empty squares —
+        # beyond-reference extension: converts won endgames perfectly
+        self.endgame_solver = None
+        if config.exact_endgame_empties > 0:
+            from ..env import endgame as endgame_lib
+            self.endgame_solver = endgame_lib.EndgameSolver(compat=compat)
 
     @property
     def variables(self):
@@ -486,6 +508,12 @@ class MCTS:
     def get_action_probs(self, root_states: env.EnvState, key: jax.Array,
                          temperature: float = 1.0, add_noise: bool = True
                          ) -> Tuple[jax.Array, Any]:
+        exact = self._exact_endgame(root_states)
+        if exact is not None:
+            # exact play is deterministic: temperature and noise are
+            # exploration devices for an approximate search, not for a
+            # proven-optimal move
+            return exact.action_probs, exact
         result = self._search_with_tt(root_states, key, add_noise)
         if self.config.algorithm == "gumbel":
             from . import gumbel as gumbel_lib
@@ -493,6 +521,41 @@ class MCTS:
         probs = probs_with_temperature(result.visit_counts,
                                        jnp.float32(temperature))
         return probs, result
+
+    def _exact_endgame(self, root_states: env.EnvState
+                       ) -> Optional[ExactResult]:
+        """Solve the position exactly when configured and applicable:
+        batch-1 host query, not finished, and at most
+        ``exact_endgame_empties`` empty squares. Returns None otherwise
+        (callers fall through to the tree search)."""
+        if (self.endgame_solver is None
+                or root_states.to_move.shape != (1,)):
+            return None
+
+        import numpy as np
+
+        from ..env import endgame as endgame_lib
+        from ..ops import u64 as u64_lib
+
+        one = jax.tree_util.tree_map(lambda x: x[0], root_states)
+        if bool(one.done):
+            return None
+        black, white = u64_lib.to_int(one.black), u64_lib.to_int(one.white)
+        if (endgame_lib.count_empties(black, white)
+                > self.config.exact_endgame_empties):
+            return None
+        res = self.endgame_solver.solve(black, white, int(one.to_move),
+                                        passed=int(one.passed))
+        action = res.best_move if res.best_move >= 0 else env.PASS_ACTION
+        one_hot = np.zeros((1, A), np.float32)
+        one_hot[0, action] = 1.0
+        return ExactResult(
+            visit_counts=jnp.asarray(one_hot),
+            action_probs=jnp.asarray(one_hot),
+            root_value=jnp.asarray([float(np.sign(res.value))], jnp.float32),
+            chosen_action=jnp.asarray([action], jnp.int32),
+            disc_diff=res.value,
+            nodes=res.nodes)
 
     def _search_with_tt(self, root_states: env.EnvState, key: jax.Array,
                         add_noise: bool):
