@@ -132,30 +132,40 @@ def bench_gumbel(batch: int = 1024, sims: int = 32,
     return row["moves_per_s"]
 
 
-def _start_watchdog(budget_s: float) -> None:
-    """Hard-exit if the device stops responding mid-run: the axon relay can
-    die (observed 2026-08-17 — jax calls then block forever in C++ land
-    where no Python timeout reaches). Exiting non-zero with a diagnostic
-    beats hanging the driver; no JSON line is printed, so no fake metric
-    gets recorded."""
+def _start_watchdog(budget_s: float, what: str):
+    """Hard-exit if the device stops responding: the axon relay can die
+    (observed 2026-08-17 — jax calls then block forever in C++ land where
+    no Python timeout reaches). Exiting non-zero with a diagnostic beats
+    hanging the driver; no JSON line is printed, so no fake metric gets
+    recorded. Returns the timer so a finished stage can cancel it."""
     import os
     import threading
 
     def blow():
-        print(f"bench watchdog: no result within {budget_s:.0f}s — device/"
-              f"relay unresponsive; aborting without a metric",
+        print(f"bench watchdog: {what} not done within {budget_s:.0f}s — "
+              f"device/relay unresponsive; aborting without a metric",
               file=sys.stderr, flush=True)
         os._exit(17)
 
     t = threading.Timer(budget_s, blow)
     t.daemon = True
     t.start()
+    return t
 
 
 def main() -> int:
-    _start_watchdog(float(__import__("os").environ.get(
-        "AZR_BENCH_TIMEOUT_S", 2400)))
+    import os
+
+    # Two stages: device acquisition is seconds when the relay is alive and
+    # blocks forever when it is dead — fail that fast, then give the actual
+    # benchmarks the full budget.
+    probe = _start_watchdog(
+        float(os.environ.get("AZR_BENCH_PROBE_TIMEOUT_S", 180)),
+        "device acquisition")
     dev = jax.devices()[0]
+    probe.cancel()
+    _start_watchdog(float(os.environ.get("AZR_BENCH_TIMEOUT_S", 2400)),
+                    "benchmarks")
     print(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}",
           file=sys.stderr)
     value = bench_env_steps()
