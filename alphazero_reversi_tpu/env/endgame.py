@@ -14,6 +14,12 @@ game tree — not canonical Othello.
 
 Host-side tool: it runs on the CPU play path (``mcts.search.MCTS``, the
 analyze CLI), NOT inside jitted/batched device search.
+
+NOT thread-safe: the native transposition table is process-global and
+unsynchronized (ctypes releases the GIL during ``solver_solve``, so two
+Python threads CAN race it and tear entries into silently wrong values).
+Serialize solves across threads; multiple ``EndgameSolver`` instances in
+one thread are fine (entries are keyed by position and mode).
 """
 from __future__ import annotations
 

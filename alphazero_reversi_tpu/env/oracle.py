@@ -46,8 +46,16 @@ def load_library() -> ctypes.CDLL:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
+    # ALWAYS invoke make, not just when the .so is absent: make no-ops when
+    # the library is fresh and rebuilds when the sources changed — a stale
+    # pre-existing build (the .so is not checked in) would otherwise load
+    # without newer symbols (e.g. solver_solve) and fail at argtypes setup.
+    try:
         _build()
+    except (OSError, subprocess.CalledProcessError):
+        if not os.path.exists(_LIB_PATH):
+            raise  # no toolchain AND no prebuilt library: unusable
+        # toolchain unavailable but a build exists — use it as-is
     lib = ctypes.CDLL(_LIB_PATH)
     lib.oracle_reset.argtypes = [ctypes.POINTER(_CState)]
     lib.oracle_legal_moves.argtypes = [

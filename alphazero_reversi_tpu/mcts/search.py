@@ -508,13 +508,14 @@ class MCTS:
     def get_action_probs(self, root_states: env.EnvState, key: jax.Array,
                          temperature: float = 1.0, add_noise: bool = True
                          ) -> Tuple[jax.Array, Any]:
-        exact = self._exact_endgame(root_states)
+        host = self._host_position(root_states, add_noise)
+        exact = self._exact_endgame(host)
         if exact is not None:
             # exact play is deterministic: temperature and noise are
             # exploration devices for an approximate search, not for a
             # proven-optimal move
             return exact.action_probs, exact
-        result = self._search_with_tt(root_states, key, add_noise)
+        result = self._search_with_tt(root_states, key, add_noise, host)
         if self.config.algorithm == "gumbel":
             from . import gumbel as gumbel_lib
             return gumbel_lib.play_probs(result, temperature), result
@@ -522,30 +523,46 @@ class MCTS:
                                        jnp.float32(temperature))
         return probs, result
 
-    def _exact_endgame(self, root_states: env.EnvState
-                       ) -> Optional[ExactResult]:
+    def _host_position(self, root_states: env.EnvState, add_noise: bool):
+        """ONE device->host fetch of a batch-1 position, shared by the
+        exact endgame solver and the transposition table (separate per-leaf
+        fetches each pay a relay round trip on the remote TPU platform).
+        Returns ``(black, white, to_move, passed, done)`` host ints, or
+        None when nothing downstream wants the host view: batch != 1, or
+        neither the solver nor a usable (noise-free) TT query."""
+        want_solver = self.endgame_solver is not None
+        want_tt = self.transposition_table is not None and not add_noise
+        if (not (want_solver or want_tt)
+                or root_states.to_move.shape != (1,)):
+            return None
+
+        from ..ops import u64 as u64_lib
+
+        one = jax.device_get(
+            jax.tree_util.tree_map(lambda x: x[0], root_states))
+        return (u64_lib.to_int(one.black), u64_lib.to_int(one.white),
+                int(one.to_move), int(one.passed), bool(one.done))
+
+    def _exact_endgame(self, host) -> Optional[ExactResult]:
         """Solve the position exactly when configured and applicable:
         batch-1 host query, not finished, and at most
         ``exact_endgame_empties`` empty squares. Returns None otherwise
         (callers fall through to the tree search)."""
-        if (self.endgame_solver is None
-                or root_states.to_move.shape != (1,)):
+        if self.endgame_solver is None or host is None:
             return None
 
         import numpy as np
 
         from ..env import endgame as endgame_lib
-        from ..ops import u64 as u64_lib
 
-        one = jax.tree_util.tree_map(lambda x: x[0], root_states)
-        if bool(one.done):
+        black, white, to_move, passed, done = host
+        if done:
             return None
-        black, white = u64_lib.to_int(one.black), u64_lib.to_int(one.white)
         if (endgame_lib.count_empties(black, white)
                 > self.config.exact_endgame_empties):
             return None
-        res = self.endgame_solver.solve(black, white, int(one.to_move),
-                                        passed=int(one.passed))
+        res = self.endgame_solver.solve(black, white, to_move,
+                                        passed=passed)
         action = res.best_move if res.best_move >= 0 else env.PASS_ACTION
         one_hot = np.zeros((1, A), np.float32)
         one_hot[0, action] = 1.0
@@ -558,25 +575,23 @@ class MCTS:
             nodes=res.nodes)
 
     def _search_with_tt(self, root_states: env.EnvState, key: jax.Array,
-                        add_noise: bool):
+                        add_noise: bool, host=None):
         """Search, short-circuited through the transposition table when the
         query is cacheable: batch 1 (host match play) and noise-free (a
         Dirichlet-noised PUCT search is not a function of the position;
         neither is a gumbel_scale>0 Gumbel draw — ``add_noise=False`` maps
-        to the deterministic ``gumbel_scale=0`` search, which is)."""
+        to the deterministic ``gumbel_scale=0`` search, which is).
+        ``host`` is ``_host_position``'s prefetched view (or None)."""
         tt = self.transposition_table
-        cacheable = (tt is not None and not add_noise
-                     and root_states.to_move.shape == (1,))
+        if host is None:
+            host = self._host_position(root_states, add_noise)
+        cacheable = tt is not None and not add_noise and host is not None
         if not cacheable:
             return self.search_batch(root_states, key, add_noise=add_noise)
 
         import numpy as np
 
-        from ..ops import u64 as u64_lib
-
-        one = jax.tree_util.tree_map(lambda x: x[0], root_states)
-        black, white = u64_lib.to_int(one.black), u64_lib.to_int(one.white)
-        to_move = int(one.to_move)
+        black, white, to_move, _, _ = host
         if self.config.algorithm == "gumbel":
             from . import gumbel as gumbel_lib
             hit = tt.lookup_gumbel(black, white, to_move)

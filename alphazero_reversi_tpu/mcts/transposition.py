@@ -33,8 +33,8 @@ from .. import symmetry, zobrist
 
 
 class TranspositionTable:
-    """LRU-bounded ``canonical hash -> (exact hash, visit_counts, value[,
-    action_probs, chosen_action])``.
+    """LRU-bounded ``(canonical hash, kind) -> (exact hash, visit_counts,
+    value[, action_probs, chosen_action])``.
 
     ``lookup``/``store`` take host bitboard ints (LSB-first square order)
     plus the side to move — the representation of ``env.game.Board`` and
@@ -44,9 +44,11 @@ class TranspositionTable:
     def __init__(self, capacity: int = 100_000, use_symmetry: bool = True):
         # Entries store (exact_hash, visit_counts, value, probs, chosen):
         # ``probs``/``chosen`` are the Gumbel search's improved policy and
-        # sequential-halving winner (None for PUCT entries — the two
-        # algorithms' results are not interchangeable, so a PUCT entry never
-        # satisfies a Gumbel query and vice versa; see lookup/lookup_gumbel).
+        # sequential-halving winner (None for PUCT entries). The two
+        # algorithms' results are not interchangeable, so keys carry the
+        # kind ("puct"/"gumbel"): a position searched by both algorithms
+        # (e.g. two MCTS instances sharing one table) caches both results
+        # side by side instead of overwriting each other.
         """``use_symmetry=False`` keys by the exact position only. Required
         when the RULES are not dihedral-equivariant — compat mode's
         edge-wrap/mis-masked-flip quirks single out the east/west directions
@@ -59,8 +61,9 @@ class TranspositionTable:
         self.hits = 0
         self.misses = 0
         self._store: OrderedDict[
-            int, Tuple[int, np.ndarray, float, Optional[np.ndarray],
-                       Optional[int]]] = OrderedDict()
+            Tuple[int, str],
+            Tuple[int, np.ndarray, float, Optional[np.ndarray],
+                  Optional[int]]] = OrderedDict()
 
     def __len__(self) -> int:
         return len(self._store)
@@ -80,16 +83,20 @@ class TranspositionTable:
               action_probs: Optional[np.ndarray] = None,
               chosen_action: Optional[int] = None) -> None:
         """``action_probs``/``chosen_action`` mark a Gumbel-search entry
-        (improved policy + sequential-halving winner); omit for PUCT."""
+        (improved policy + sequential-halving winner); omit for PUCT.
+        Keys include the entry KIND, so one position may be cached under
+        both algorithms side by side (the results are not interchangeable)
+        — a shared table never thrashes between kinds."""
         hashes = self._hashes(black, white, to_move)
-        canonical = min(hashes)
+        kind = "puct" if action_probs is None else "gumbel"
+        key = (min(hashes), kind)
         probs = (None if action_probs is None
                  else np.asarray(action_probs, np.float32).copy())
         chosen = None if chosen_action is None else int(chosen_action)
-        self._store[canonical] = (hashes[0], np.asarray(visit_counts,
-                                                        np.float32).copy(),
-                                  float(value), probs, chosen)
-        self._store.move_to_end(canonical)
+        self._store[key] = (hashes[0], np.asarray(visit_counts,
+                                                  np.float32).copy(),
+                            float(value), probs, chosen)
+        self._store.move_to_end(key)
         while len(self._store) > self.capacity:
             self._store.popitem(last=False)
 
@@ -100,18 +107,21 @@ class TranspositionTable:
         out[64:] = arr[64:]
         return out
 
-    def _lookup_entry(self, black: int, white: int, to_move: int):
-        """Shared probe: returns ``(entry, inv_perm)`` for a symmetry-exact
-        hit (entry oriented as STORED; ``inv`` maps it to the query), else
-        None. Counts a miss on failure; the caller counts the hit once it
-        confirms the entry kind matches its query."""
+    def _lookup_entry(self, black: int, white: int, to_move: int,
+                      kind: str):
+        """Shared probe for one entry KIND: returns ``(entry, inv_perm)``
+        for a symmetry-exact hit (entry oriented as STORED; ``inv`` maps it
+        to the query), else None. Counts the hit/miss; only a confirmed hit
+        refreshes the entry's LRU position."""
         hashes = self._hashes(black, white, to_move)
-        entry = self._store.get(min(hashes))
+        key = (min(hashes), kind)
+        entry = self._store.get(key)
         if entry is not None:
             stored_hash = entry[0]
             for s, h in enumerate(hashes):
                 if h == stored_hash:
-                    self._store.move_to_end(min(hashes))
+                    self.hits += 1
+                    self._store.move_to_end(key)
                     return entry, int(symmetry.INVERSE[s])
         # absent, or canonical collision without an exact symmetry match
         self.misses += 1
@@ -123,14 +133,10 @@ class TranspositionTable:
         position, or None. A hit through symmetry ``s`` (stored ==
         transform_s(query)) permutes the stored counts back by
         ``INVERSE[s]``. Gumbel entries do not satisfy a PUCT query."""
-        probe = self._lookup_entry(black, white, to_move)
+        probe = self._lookup_entry(black, white, to_move, "puct")
         if probe is None:
             return None
-        (_, counts, value, probs, _), inv = probe
-        if probs is not None:  # gumbel entry: wrong kind for this query
-            self.misses += 1
-            return None
-        self.hits += 1
+        (_, counts, value, _, _), inv = probe
         return self._permute_actions(counts, inv), value
 
     def lookup_gumbel(self, black: int, white: int, to_move: int
@@ -140,14 +146,10 @@ class TranspositionTable:
         chosen_action)`` oriented to the QUERY position, or None. The chosen
         action maps through the inverse square permutation (pass stays
         pass). PUCT entries do not satisfy a Gumbel query."""
-        probe = self._lookup_entry(black, white, to_move)
+        probe = self._lookup_entry(black, white, to_move, "gumbel")
         if probe is None:
             return None
         (_, counts, value, probs, chosen), inv = probe
-        if probs is None:  # puct entry: wrong kind for this query
-            self.misses += 1
-            return None
-        self.hits += 1
         if chosen < 64:
             # counts_query[q] = counts_stored[PERMS[inv][q]], so the stored
             # winner a lands at the query index q with PERMS[inv][q] == a

@@ -18,6 +18,11 @@
 // [-64, +64].
 //
 // Exposed as a plain C ABI for ctypes (no pybind11 in this environment).
+// NOT thread-safe: the transposition table and node counter are shared
+// process-global state without synchronization, and ctypes releases the GIL
+// during solver_solve — concurrent calls from multiple Python threads could
+// tear TT entries and return silently wrong "exact" values. Callers must
+// serialize solves (env/endgame.py documents the same constraint).
 #include <algorithm>
 #include <cstdint>
 #include <cstring>

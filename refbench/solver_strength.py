@@ -89,12 +89,16 @@ def main():
     ap.add_argument("--sims", type=int, default=100)
     ap.add_argument("--empties", type=int, default=14)
     ap.add_argument("--temperature", type=float, default=0.1)
-    ap.add_argument("--compat", action="store_true", default=True)
+    ap.add_argument("--rules", choices=["compat", "correct"],
+                    default="compat",
+                    help="rule mode (must match how the checkpoint was "
+                         "trained; the 30-iteration checkpoints are compat)")
     ap.add_argument("--ckpt", default=os.path.join(
         HERE, "workdir_repo_train30/checkpoints"))
     ap.add_argument("--out", default=os.path.join(HERE,
                                                   "solver_strength.json"))
     args = ap.parse_args()
+    compat = args.rules == "compat"
 
     import jax
 
@@ -116,16 +120,16 @@ def main():
     # only the endgame policy differs (and the solver path bypasses the TT).
     tt = TranspositionTable()
     solver_side = Agent("solver", net, variables, args.sims,
-                        args.temperature, args.empties, args.compat, tt)
+                        args.temperature, args.empties, compat, tt)
     plain_side = Agent("plain", net, variables, args.sims,
-                       args.temperature, 0, args.compat, tt)
+                       args.temperature, 0, compat, tt)
 
     rec = {"w": 0, "d": 0, "l": 0}
     t0 = time.time()
     for g in range(args.games):
         blk, wht = ((solver_side, plain_side) if g % 2 == 0
                     else (plain_side, solver_side))
-        res = play_game(blk, wht, 4000 + 17 * g, args.compat)
+        res = play_game(blk, wht, 4000 + 17 * g, compat)
         if res == "draw":
             rec["d"] += 1
         elif res == "solver":
@@ -144,7 +148,7 @@ def main():
         "protocol": {
             "games": n, "sims": args.sims, "empties": args.empties,
             "temperature": args.temperature, "ckpt": args.ckpt,
-            "rules": "compat" if args.compat else "correct",
+            "rules": args.rules,
             "note": "identical weights/search both sides; solver side "
                     "plays exact endgames at <= empties empty squares"},
         "solver_vs_plain": {

@@ -293,3 +293,40 @@ def test_transposition_gumbel_entries_kind_and_symmetry():
     tb = zobrist.transform_bits(black, 3)
     tw = zobrist.transform_bits(white, 3)
     assert tt3.lookup_gumbel(tb, tw, env.BLACK)[3] == 64
+
+
+def test_tt_kinds_coexist_without_thrash():
+    """A position searched by BOTH algorithms caches both results side by
+    side (keys carry the kind): neither store evicts the other, and a
+    kind-mismatched probe neither refreshes LRU nor overwrites anything
+    (round-2 review finding: single-keyed entries thrashed when two MCTS
+    instances shared one table)."""
+    tt = TranspositionTable()
+    black, white = (1 << 19) | (1 << 28), (1 << 27) | (1 << 44)
+    counts_p = np.zeros(65, np.float32)
+    counts_p[19] = 7.0
+    counts_g = np.zeros(65, np.float32)
+    counts_g[26] = 3.0
+    probs_g = np.zeros(65, np.float32)
+    probs_g[26] = 1.0
+
+    tt.store(black, white, env.BLACK, counts_p, 0.5)  # puct
+    tt.store(black, white, env.BLACK, counts_g, -0.5,  # gumbel
+             action_probs=probs_g, chosen_action=26)
+    assert len(tt) == 2  # both kinds cached for one position
+
+    got_p = tt.lookup(black, white, env.BLACK)
+    got_g = tt.lookup_gumbel(black, white, env.BLACK)
+    assert got_p is not None and got_p[1] == np.float32(0.5)
+    assert np.array_equal(got_p[0], counts_p)
+    assert got_g is not None and got_g[1] == np.float32(-0.5)
+    assert got_g[3] == 26
+    assert tt.hits == 2 and tt.misses == 0
+
+    # kind-mismatch on a position cached only under the other kind: miss,
+    # nothing evicted
+    tt2 = TranspositionTable()
+    tt2.store(black, white, env.BLACK, counts_p, 0.5)
+    assert tt2.lookup_gumbel(black, white, env.BLACK) is None
+    assert len(tt2) == 1 and tt2.misses == 1
+    assert tt2.lookup(black, white, env.BLACK) is not None
