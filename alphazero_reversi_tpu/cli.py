@@ -152,6 +152,24 @@ def _parse_move_token(token: str):
     return r, c
 
 
+def _action_name(action: int) -> str:
+    """65-way action index -> display name ('pass' or algebraic a1-h8)."""
+    if action == 64:
+        return "pass"
+    return f"{chr(ord('a') + action % 8)}{action // 8 + 1}"
+
+
+def _net_from_args(config, checkpoint_dir):
+    """Build the configured net; load 'best' weights from checkpoint_dir if
+    given. Returns (net, variables) — variables None when the requested
+    checkpoint is missing."""
+    net = resnet.build_network(config.model)
+    template = resnet.init_variables(net, jax.random.PRNGKey(0))
+    if checkpoint_dir:
+        return net, ckpt_lib.restore_best(checkpoint_dir, template)
+    return net, template
+
+
 def cmd_analyze(args) -> int:
     """Position analysis: play the given moves from the initial board, run a
     full noise-free search, print the top moves with visit counts and the
@@ -164,16 +182,11 @@ def cmd_analyze(args) -> int:
     from .mcts import search as search_lib
 
     config = _load_config(args.config)
-    net = resnet.build_network(config.model)
-    template = resnet.init_variables(net, jax.random.PRNGKey(0))
-    variables = template
-    if args.checkpoint_dir:
-        restored = ckpt_lib.restore_best(args.checkpoint_dir, template)
-        if restored is None:
-            print(f"no best checkpoint under {args.checkpoint_dir}",
-                  file=sys.stderr)
-            return 1
-        variables = restored
+    net, variables = _net_from_args(config, args.checkpoint_dir)
+    if variables is None:
+        print(f"no best checkpoint under {args.checkpoint_dir}",
+              file=sys.stderr)
+        return 1
 
     board = Board(compat=config.env_compat)
     for token in args.moves:
@@ -214,8 +227,7 @@ def cmd_analyze(args) -> int:
                                       temperature=1.0, add_noise=False)
     mover = "black" if board.current_player == 1 else "white"
     if isinstance(result, search_lib.ExactResult):
-        a = int(result.chosen_action[0])
-        name = "pass" if a == 64 else f"{chr(ord('a') + a % 8)}{a // 8 + 1}"
+        name = _action_name(int(result.chosen_action[0]))
         print(f"\nexact endgame solve ({mover} to move): "
               f"{result.disc_diff:+d} discs under optimal play   "
               f"[{result.nodes} solver nodes]")
@@ -230,10 +242,104 @@ def cmd_analyze(args) -> int:
     for a in order:
         if vc[a] == 0 or shown >= args.top:
             break
-        name = "pass" if a == 64 else f"{chr(ord('a') + a % 8)}{a // 8 + 1}"
+        name = _action_name(a)
         print(f"  {name:>5s}  visits {int(vc[a]):5d}  "
               f"({vc[a] / max(vc.sum(), 1):5.1%})")
         shown += 1
+    return 0
+
+
+def cmd_play(args) -> int:
+    """Interactive terminal match against the agent (no reference analog —
+    the reference ships no human-play surface). The human enters moves as
+    algebraic (d3), ROW,COL, or 'pass'; 'q' quits. The agent searches
+    noise-free at --sims and plays exact endgames when --solve /
+    mcts.exact_endgame_empties is set."""
+    import numpy as np
+
+    from .config import MCTSConfig
+    from .env.game import Board
+    from .mcts import search as search_lib
+    from .mcts.transposition import TranspositionTable
+
+    config = _load_config(args.config)
+    net, variables = _net_from_args(config, args.checkpoint_dir)
+    if variables is None:
+        print(f"no best checkpoint under {args.checkpoint_dir}",
+              file=sys.stderr)
+        return 1
+
+    human = 1 if args.color == "black" else 2
+    sims = args.sims or config.mcts.num_simulations
+    solve_empties = (args.solve if args.solve is not None
+                     else config.mcts.exact_endgame_empties)
+    mcts = search_lib.MCTS(
+        net, variables,
+        MCTSConfig(num_simulations=sims, c_puct=config.mcts.c_puct,
+                   max_depth=config.mcts.max_depth,
+                   batch_size=config.mcts.batch_size,
+                   algorithm=config.mcts.algorithm,
+                   max_considered_actions=config.mcts.max_considered_actions,
+                   c_visit=config.mcts.c_visit,
+                   c_scale=config.mcts.c_scale,
+                   exact_endgame_empties=solve_empties),
+        compat=config.env_compat,
+        # repeated positions (transpositions, takeback-free rematches) hit
+        # the cache instead of re-searching
+        transposition_table=TranspositionTable())
+
+    board = Board(compat=config.env_compat)
+    key = jax.random.PRNGKey(config.seed)
+    print(f"you play {'black (X)' if human == 1 else 'white (O)'} — "
+          f"agent at {sims} simulations"
+          + (f", exact endgames at <={solve_empties} empties"
+             if solve_empties else ""))
+    print("moves: algebraic (d3), ROW,COL, 'pass'; 'q' to quit")
+    while not board.game_over:
+        print()
+        print(board)
+        if board.current_player == human:
+            legal = board.get_valid_moves()
+            if not legal:
+                print("no legal moves — you must pass")
+            try:
+                token = input("your move> ").strip()
+            except EOFError:
+                token = "q"
+            if token.lower() in ("q", "quit", "resign", "exit"):
+                print("game aborted")
+                return 0
+            try:
+                r, c = _parse_move_token(token)
+            except ValueError as e:
+                print(f"bad move {token!r}: {e}")
+                continue
+            if not board.make_move(r, c):
+                names = ", ".join(_action_name(rr * 8 + cc)
+                                  for rr, cc in legal) or "pass"
+                print(f"illegal move {token!r} here (legal: {names})")
+                continue
+        else:
+            state = jax.tree_util.tree_map(lambda x: x[None], board._state)
+            key, k1 = jax.random.split(key)
+            probs, result = mcts.get_action_probs(
+                state, k1, temperature=0.0, add_noise=False)
+            action = int(np.asarray(probs[0]).argmax())
+            exact = isinstance(result, search_lib.ExactResult)
+            print(f"agent plays {_action_name(action)}"
+                  + (f" (exact: {result.disc_diff:+d} discs optimal)"
+                     if exact else ""))
+            ok = board.make_move(*((-1, -1) if action == 64
+                                   else divmod(action, 8)))
+            assert ok, "agent produced an illegal move"
+
+    print()
+    print(board)
+    nb, nw = board.get_score()
+    w = board.winner or 0
+    outcome = ("draw" if w == 0
+               else "you win!" if w == human else "agent wins")
+    print(f"game over: X {nb} - O {nw} — {outcome}")
     return 0
 
 
@@ -318,6 +424,21 @@ def build_parser() -> argparse.ArgumentParser:
              "overriding mcts.exact_endgame_empties. ~20 empties is "
              "seconds on one core; beyond that grows fast")
     a.set_defaults(fn=cmd_analyze)
+
+    g = sub.add_parser("play",
+                       help="play against the agent in the terminal")
+    g.add_argument("--config", "-c", default=None)
+    g.add_argument("--checkpoint-dir", "-d", default=None,
+                   help="load the 'best' model from here (default: "
+                        "untrained net)")
+    g.add_argument("--color", choices=["black", "white"], default="black",
+                   help="your color (black moves first)")
+    g.add_argument("--sims", type=int, default=None)
+    g.add_argument(
+        "--solve", type=int, default=None, metavar="EMPTIES",
+        help="agent plays exact endgames at <= EMPTIES empty squares "
+             "(overrides mcts.exact_endgame_empties)")
+    g.set_defaults(fn=cmd_play)
 
     i = sub.add_parser(
         "import-checkpoint",

@@ -144,3 +144,64 @@ def test_platform_flag_parses(tmp_path, capsys):
     rc = cli.main(["--platform", "cpu", "analyze", "zz", "--config", p])
     assert rc == 1  # parse error path — reached past the platform switch
     assert "bad move" in capsys.readouterr().err
+
+
+def test_play_command(tmp_path, capsys, monkeypatch):
+    """Interactive play: scripted stdin plays a couple of human moves (one
+    bad, one illegal, then legal ones) against the 2-sim agent and quits;
+    the loop recovers from bad input and the agent's replies are legal."""
+    from alphazero_reversi_tpu import cli
+    from alphazero_reversi_tpu.config import Config
+
+    cfg = Config()
+    cfg.model.num_res_blocks = 1
+    cfg.model.num_filters = 8
+    cfg.model.compute_dtype = "float32"
+    cfg.mcts.num_simulations = 2
+    cfg.mcts.max_depth = 4
+    p = str(tmp_path / "cfg.json")
+    cfg.save(p)
+
+    moves = iter(["zz", "a1", "d3", "2,4", "q"])
+    monkeypatch.setattr("builtins.input", lambda *a: next(moves))
+    rc = cli.main(["play", "--config", p, "--color", "black"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "bad move 'zz'" in out
+    assert "illegal move 'a1'" in out
+    assert "agent plays" in out
+    assert "game aborted" in out
+
+
+def test_play_command_full_game_with_solver(tmp_path, capsys, monkeypatch):
+    """A full game to completion: the 'human' always plays the first legal
+    move (or passes); the agent uses 2 sims + exact endgames from 12
+    empties. Must terminate with a final score line."""
+    from alphazero_reversi_tpu import cli
+    from alphazero_reversi_tpu.config import Config
+
+    cfg = Config()
+    cfg.model.num_res_blocks = 1
+    cfg.model.num_filters = 8
+    cfg.model.compute_dtype = "float32"
+    cfg.mcts.num_simulations = 2
+    cfg.mcts.max_depth = 4
+    p = str(tmp_path / "cfg.json")
+    cfg.save(p)
+
+    # brute-force probing: offer every square each turn; the CLI loops on
+    # illegal input, consuming the iterator until a legal one lands
+    def gen():
+        while True:
+            for sq in range(64):
+                yield f"{sq // 8},{sq % 8}"
+            yield "pass"
+
+    it = gen()
+    monkeypatch.setattr("builtins.input", lambda *a: next(it))
+    rc = cli.main(["play", "--config", p, "--color", "white",
+                   "--solve", "12"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "game over:" in out
+    assert "exact:" in out  # the solver kicked in at the endgame
