@@ -112,6 +112,14 @@ class SelfPlayConfig:
     temp_threshold: int = 15
     temp_init: float = 1.0
     temp_final: float = 0.1
+    # exact value targets for late positions (beyond-reference extension):
+    # after each self-play batch, positions with <= this many empty squares
+    # get their value target replaced by the native endgame solver's
+    # game-theoretic outcome under optimal play (sign, mover perspective,
+    # env/endgame.py) instead of the noisy realized outcome — the realized
+    # result of a misplayed endgame teaches the value head the wrong label.
+    # Host-side post-processing (~ms/position at <=12 empties). 0 disables.
+    exact_value_empties: int = 0
 
 
 @dataclass

@@ -215,6 +215,12 @@ class AlphaZeroPipeline:
             else:
                 traj = self.selfplay.generate_games(
                     sp_key, sp_cfg.num_parallel_games)
+            if sp_cfg.exact_value_empties > 0:
+                # ground-truth value labels for late positions (native
+                # endgame solver) replace the realized outcome
+                traj = selfplay_lib.relabel_exact_values(
+                    traj, sp_cfg.exact_value_empties,
+                    compat=self.config.env_compat)
             if (sp_cfg.save_every > 0
                     and self.iteration % sp_cfg.save_every == 0):
                 selfplay_lib.save_trajectory(

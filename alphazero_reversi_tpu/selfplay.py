@@ -300,3 +300,52 @@ def load_trajectory_arrays(path: str) -> Dict[str, np.ndarray]:
             "valid": data["valid"],
             "actions": data["actions"].astype(np.int32),
         }
+
+
+def relabel_exact_values(traj: Trajectory, max_empties: int,
+                         compat: bool = False) -> Trajectory:
+    """Replace value targets of late positions with the solver's
+    game-theoretic outcome (``SelfPlayConfig.exact_value_empties``).
+
+    A recorded value target is the REALIZED outcome of the game
+    (``_outcome_value``): when the tail of a game is misplayed, every
+    position along it gets a label the position does not deserve. For
+    positions with at most ``max_empties`` empty squares the exact solver
+    (env/endgame.py, native alpha-beta) replaces it with the sign of the
+    optimal-play disc differential from the mover's perspective — a
+    win/draw/loss probe per position, so the label is ground truth.
+
+    Host-side post-processing over the fetched trajectory (the solver is
+    native CPU code); the solver's persistent transposition table amortizes
+    shared suffixes. Beyond-reference extension (the reference trains on
+    realized outcomes only, self_play.py:117-126).
+    """
+    if max_empties <= 0:
+        return traj
+    from .env import endgame as endgame_lib
+
+    stones = np.asarray(traj.planes[..., :2])  # [T, B, 8, 8, 2] mover/opp
+    valid = np.asarray(traj.valid)
+    candidates = valid & (64 - stones.sum((-1, -2, -3)) <= max_empties)
+    if not candidates.any():
+        return traj
+
+    to_move = np.asarray(traj.to_move)
+    value = np.asarray(traj.value).copy()
+    solver = endgame_lib.EndgameSolver(compat=compat)
+
+    def pack(board8x8: np.ndarray) -> int:
+        bits = np.packbits(board8x8.reshape(64) > 0.5, bitorder="little")
+        return int.from_bytes(bits.tobytes(), "little")
+
+    for t, b in zip(*np.nonzero(candidates)):
+        mine = pack(stones[t, b, :, :, 0])
+        theirs = pack(stones[t, b, :, :, 1])
+        mover = int(to_move[t, b])
+        black, white = (mine, theirs) if mover == env.BLACK \
+            else (theirs, mine)
+        # recorded positions always have a legal move for the mover (the
+        # env auto-passes, board.py:242-249 semantics), so passed=0
+        res = solver.solve_wdl(black, white, mover)
+        value[t, b] = float(np.sign(res.value))
+    return traj._replace(value=jnp.asarray(value, jnp.float32))

@@ -259,3 +259,54 @@ def test_analyze_cli_solve(tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "exact endgame solve" in out and "optimal move:" in out
+
+
+def test_relabel_exact_values(net_and_vars):
+    """relabel_exact_values rewrites value targets ONLY at valid positions
+    with <= E empties, to the solver's WDL sign from the mover's
+    perspective; all other slots and fields are untouched."""
+    from alphazero_reversi_tpu import selfplay as selfplay_lib
+
+    net, variables = net_and_vars
+    traj = selfplay_lib.play_games(
+        net, variables, jax.random.PRNGKey(5), num_games=4,
+        num_simulations=2, c_puct=1.0, dirichlet_alpha=0.3,
+        dirichlet_epsilon=0.25, temp_threshold=10, temp_init=1.0,
+        temp_final=0.1, max_depth=4, max_moves=60)
+
+    E = 12
+    out = selfplay_lib.relabel_exact_values(traj, E, compat=False)
+
+    stones = np.asarray(traj.planes[..., :2])
+    empties = 64 - stones.sum((-1, -2, -3))
+    valid = np.asarray(traj.valid)
+    late = valid & (empties <= E)
+    assert late.any(), "self-play produced no late positions to relabel"
+
+    old_v, new_v = np.asarray(traj.value), np.asarray(out.value)
+    # untouched outside the relabeled set (and all other fields identical)
+    assert np.array_equal(old_v[~late], new_v[~late])
+    assert np.array_equal(np.asarray(traj.policy), np.asarray(out.policy))
+    assert np.array_equal(np.asarray(traj.actions), np.asarray(out.actions))
+
+    solver = endgame.EndgameSolver()
+    checked = 0
+    for t, b in zip(*np.nonzero(late)):
+        mine = np.packbits(stones[t, b, :, :, 0].reshape(64) > 0.5,
+                           bitorder="little")
+        theirs = np.packbits(stones[t, b, :, :, 1].reshape(64) > 0.5,
+                             bitorder="little")
+        mine = int.from_bytes(mine.tobytes(), "little")
+        theirs = int.from_bytes(theirs.tobytes(), "little")
+        mover = int(np.asarray(traj.to_move)[t, b])
+        black, white = (mine, theirs) if mover == env.BLACK \
+            else (theirs, mine)
+        want = np.sign(solver.solve(black, white, mover).value)
+        assert new_v[t, b] == want, (t, b)
+        checked += 1
+    assert checked == late.sum()
+    assert new_v[late].min() >= -1.0 and new_v[late].max() <= 1.0
+
+    # disabled threshold is the identity
+    same = selfplay_lib.relabel_exact_values(traj, 0)
+    assert same is traj
