@@ -407,6 +407,59 @@ def profile_search(trace_dir: str = "/tmp/jax_trace", batch: int = 1024,
     return trace_dir
 
 
+def bench_solver(empties_list: Optional[List[int]] = None,
+                 positions: int = 3, compat: bool = False,
+                 wdl: bool = False) -> List[dict]:
+    """Exact endgame solver throughput (native/solver.cpp — host CPU, not
+    a device benchmark): per empties-depth, average solve time, nodes, and
+    nodes/s over ``positions`` random late-game positions. ``wdl`` probes
+    the (-1, 1) window (the match-play cost) instead of a full solve."""
+    import random
+    import time
+
+    from .env import endgame as endgame_lib
+    from .env import oracle as oracle_lib
+
+    mode = oracle_lib.MODE_COMPAT if compat else oracle_lib.MODE_CORRECT
+    solver = endgame_lib.EndgameSolver(compat=compat)
+    rows = []
+    for empties in (empties_list or [8, 12, 14, 16]):
+        total_t = total_n = solved = 0
+        for i in range(positions):
+            rng = random.Random(9000 + 31 * empties + i)
+            b = oracle_lib.OracleBoard(mode)
+            while (not b.game_over
+                   and 64 - bin(b.black | b.white).count("1") > empties):
+                legal = b.legal_moves_bb()
+                if legal == 0:
+                    b.step(oracle_lib.PASS_ACTION)
+                    continue
+                b.step(rng.choice([s for s in range(64) if legal >> s & 1]))
+            if b.game_over:
+                continue
+            solver.clear()  # cold solve: don't credit earlier repeats
+            t0 = time.perf_counter()
+            res = (solver.solve_wdl(b.black, b.white, b.current_player,
+                                    passed=b.passed) if wdl
+                   else solver.solve(b.black, b.white, b.current_player,
+                                     passed=b.passed))
+            total_t += time.perf_counter() - t0
+            total_n += res.nodes
+            solved += 1
+        if solved == 0:
+            continue
+        rows.append({
+            "empties": empties,
+            "mode": "compat" if compat else "correct",
+            "window": "wdl" if wdl else "full",
+            "positions": solved,
+            "avg_ms": round(1e3 * total_t / solved, 2),
+            "avg_nodes": int(total_n / solved),
+            "nodes_per_s": int(total_n / max(total_t, 1e-9)),
+        })
+    return rows
+
+
 # ---------------------------------------------------------------------------
 # CLI
 # ---------------------------------------------------------------------------
@@ -458,6 +511,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     f.add_argument("--batch", type=int, default=1024)
     f.add_argument("--sims", type=int, default=400)
 
+    so = sub.add_parser("solver")
+    so.add_argument("--empties", type=int, nargs="+", default=None)
+    so.add_argument("--positions", type=int, default=3)
+    so.add_argument("--compat", action="store_true")
+    so.add_argument("--wdl", action="store_true",
+                    help="probe win/draw/loss only (match-play cost)")
+
     args = p.parse_args(argv)
     if args.command == "env":
         print(json.dumps(bench_env(args.batch, args.steps,
@@ -484,6 +544,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     elif args.command == "profile":
         out = profile_search(args.trace_dir, args.batch, args.sims)
         print(f"trace written to {out}", file=sys.stderr)
+    elif args.command == "solver":
+        for row in bench_solver(args.empties, args.positions,
+                                compat=args.compat, wdl=args.wdl):
+            print(json.dumps(row))
     return 0
 
 

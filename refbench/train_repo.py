@@ -20,12 +20,21 @@ OUT = os.path.join(HERE, os.environ.get("AZR_PARITY_OUT", "repo_training.json"))
 os.makedirs(WORKDIR, exist_ok=True)
 os.chdir(WORKDIR)
 
+if os.environ.get("AZR_PLATFORM"):  # e.g. "cpu" when the TPU relay is down
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["AZR_PLATFORM"])
+
 from alphazero_reversi_tpu.config import Config  # noqa: E402
 from alphazero_reversi_tpu.pipeline import AlphaZeroPipeline  # noqa: E402
 
 ITERATIONS = int(os.environ.get("AZR_PARITY_ITERS", "10"))
 
 config = Config()
+# exact-endgame value relabeling arm (selfplay.exact_value_empties);
+# 0 = the original protocol
+config.self_play.exact_value_empties = int(
+    os.environ.get("AZR_EXACT_VALUE_EMPTIES", "0"))
 config.mcts.num_simulations = 100
 config.self_play.num_games = 4
 config.self_play.num_parallel_games = 4
