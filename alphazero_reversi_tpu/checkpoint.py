@@ -63,6 +63,32 @@ def save_checkpoint(ckpt_dir: str, iteration: int, tree: Dict[str, Any]
     return path
 
 
+def prune_checkpoints(ckpt_dir: str, keep_latest: int = 1) -> list:
+    """Delete all but the newest ``keep_latest`` full ``it_NNNNNN``
+    checkpoints (the ``best_model`` directory is never touched).
+
+    Backs ``LoggingConfig.save_best_only``: with it set, the pipeline keeps
+    only the latest full checkpoint (resume still works) plus the promoted
+    best-model weights, instead of accumulating a ~full-state checkpoint per
+    ``save_interval``. The reference declared the flag and never consumed it
+    (/root/reference/src/config.py:77); this retention rule is the
+    documented semantics here. Returns the deleted paths.
+    """
+    import shutil
+
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    if not os.path.isdir(ckpt_dir):
+        return []
+    its = sorted(
+        (int(m.group(1)), os.path.join(ckpt_dir, name))
+        for name in os.listdir(ckpt_dir)
+        if (m := _STEP_RE.match(name)))
+    doomed = [path for _, path in its[:max(0, len(its) - keep_latest)]]
+    for path in doomed:
+        shutil.rmtree(path, ignore_errors=True)
+    return doomed
+
+
 def restore_checkpoint(path: str, template: Dict[str, Any]) -> Dict[str, Any]:
     """Restore a checkpoint into the structure of ``template`` (a concrete
     pytree with the right shapes/dtypes, e.g. a freshly initialized state)."""

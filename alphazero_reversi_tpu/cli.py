@@ -69,7 +69,13 @@ def cmd_train(args) -> int:
         config.training.num_epochs = args.iterations
     if args.run_dir:
         _make_run_dirs(config, args.run_dir)
-    pipe = AlphaZeroPipeline(config, run_name=args.run_name)
+    # default run name derives from config.project_name + timestamp, the
+    # reference's Logger run naming (/root/reference/src/logger.py:28); an
+    # explicit --run-name wins
+    run_name = args.run_name or (
+        f"{config.project_name}_"
+        f"{datetime.datetime.now().strftime('%Y%m%d_%H%M%S')}")
+    pipe = AlphaZeroPipeline(config, run_name=run_name)
     if args.resume:
         pipe.load_checkpoint(args.checkpoint)
     pipe.train()
@@ -378,7 +384,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="override training.num_epochs")
     t.add_argument("--run-dir", default=None,
                    help="create a timestamped run dir here (run.py analog)")
-    t.add_argument("--run-name", default="run")
+    t.add_argument("--run-name", default=None, help="run name for logs (default: <project_name>_<timestamp>, the reference Logger naming)")
     t.add_argument("--resume", action="store_true")
     t.add_argument("--checkpoint", default=None,
                    help="explicit checkpoint path for --resume")
@@ -395,7 +401,7 @@ def build_parser() -> argparse.ArgumentParser:
     k.add_argument("--config", "-c", default=None)
     k.add_argument("--iterations", type=int, default=None)
     k.add_argument("--run-dir", default=None)
-    k.add_argument("--run-name", default="run")
+    k.add_argument("--run-name", default=None, help="run name for logs (default: <project_name>_<timestamp>, the reference Logger naming)")
     k.add_argument("--checkpoint", default=None)
     k.set_defaults(fn=cmd_train, resume=True)
 

@@ -120,6 +120,13 @@ class SelfPlayConfig:
     # result of a misplayed endgame teaches the value head the wrong label.
     # Host-side post-processing (~ms/position at <=12 empties). 0 disables.
     exact_value_empties: int = 0
+    # wall-clock budget (seconds) for that relabeling pass, per self-play
+    # batch: candidates are solved empties-ascending (cheapest, most
+    # label-valuable first) and solving stops at the budget — deeper
+    # positions keep their realized-outcome label (selfplay.
+    # relabel_exact_values_with_stats; cost is logged per batch as
+    # selfplay/relabel_*). <= 0 means unbounded.
+    exact_value_budget_s: float = 30.0
 
 
 @dataclass

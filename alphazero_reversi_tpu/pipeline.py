@@ -158,6 +158,13 @@ class AlphaZeroPipeline:
             self.config.training.checkpoint_dir, self.iteration,
             self._checkpoint_tree())
         self.logger.info("checkpoint saved: %s", path)
+        if self.config.logging.save_best_only:
+            # keep only the latest full checkpoint + the best-model weights
+            # (LoggingConfig.save_best_only semantics — see
+            # checkpoint.prune_checkpoints)
+            for old in ckpt_lib.prune_checkpoints(
+                    self.config.training.checkpoint_dir, keep_latest=1):
+                self.logger.info("pruned old checkpoint: %s", old)
         return path
 
     def load_checkpoint(self, path: Optional[str] = None) -> bool:
@@ -204,6 +211,7 @@ class AlphaZeroPipeline:
                                        / sp_cfg.num_parallel_games))
         new_positions = 0
         total_slots = 0
+        relabel_stats: Dict[str, float] = {}
         for b in range(num_batches):
             self.key, sp_key = jax.random.split(self.key)
             if self.num_devices > 1:
@@ -217,10 +225,22 @@ class AlphaZeroPipeline:
                     sp_key, sp_cfg.num_parallel_games)
             if sp_cfg.exact_value_empties > 0:
                 # ground-truth value labels for late positions (native
-                # endgame solver) replace the realized outcome
-                traj = selfplay_lib.relabel_exact_values(
+                # endgame solver) replace the realized outcome; cost is
+                # wall-clock-bounded and surfaced in the iteration metrics
+                budget = (sp_cfg.exact_value_budget_s
+                          if sp_cfg.exact_value_budget_s > 0 else None)
+                traj, rstats = selfplay_lib.relabel_exact_values_with_stats(
                     traj, sp_cfg.exact_value_empties,
-                    compat=self.config.env_compat)
+                    compat=self.config.env_compat, budget_s=budget)
+                for k, v in rstats.items():
+                    relabel_stats[k] = relabel_stats.get(k, 0) + v
+                if rstats["skipped"]:
+                    self.logger.warning(
+                        "exact-value relabel budget (%.0fs) hit: %d/%d "
+                        "candidates kept realized labels (deepest solved: "
+                        "%d empties)", sp_cfg.exact_value_budget_s,
+                        rstats["skipped"], rstats["candidates"],
+                        rstats["max_empties_solved"])
             if (sp_cfg.save_every > 0
                     and self.iteration % sp_cfg.save_every == 0):
                 selfplay_lib.save_trajectory(
@@ -234,6 +254,7 @@ class AlphaZeroPipeline:
         # lockstep waste visibility: fraction of searched (slot, game) cells
         # that were live games (PERF.md "self-play tail" note)
         self._last_live_fraction = new_positions / max(1, total_slots)
+        self._last_relabel_stats = relabel_stats
         return new_positions
 
     def _train_epoch(self, num_positions: int) -> Dict[str, float]:
@@ -325,6 +346,10 @@ class AlphaZeroPipeline:
                     "replay/size": int(self.buffer.size),
                     **eval_metrics,
                 }
+                if self._last_relabel_stats:
+                    metrics.update({
+                        f"selfplay/relabel_{k}": v
+                        for k, v in self._last_relabel_stats.items()})
                 self.metrics_history.append(metrics)
                 self.logger.log_metrics(metrics, it)
                 # per-group LR scalar (reference Logger.log_learning_rate,

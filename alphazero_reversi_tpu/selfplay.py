@@ -302,8 +302,10 @@ def load_trajectory_arrays(path: str) -> Dict[str, np.ndarray]:
         }
 
 
-def relabel_exact_values(traj: Trajectory, max_empties: int,
-                         compat: bool = False) -> Trajectory:
+def relabel_exact_values_with_stats(
+        traj: Trajectory, max_empties: int, compat: bool = False,
+        budget_s: Optional[float] = None,
+) -> Tuple[Trajectory, Dict[str, float]]:
     """Replace value targets of late positions with the solver's
     game-theoretic outcome (``SelfPlayConfig.exact_value_empties``).
 
@@ -317,18 +319,37 @@ def relabel_exact_values(traj: Trajectory, max_empties: int,
 
     Host-side post-processing over the fetched trajectory (the solver is
     native CPU code); the solver's persistent transposition table amortizes
-    shared suffixes. Beyond-reference extension (the reference trains on
-    realized outcomes only, self_play.py:117-126).
+    shared suffixes, and identical positions (transpositions across games)
+    are solved once via a host-side cache. Beyond-reference extension (the
+    reference trains on realized outcomes only, self_play.py:117-126).
+
+    **Cost bounding** (``SelfPlayConfig.exact_value_budget_s``): solve cost
+    grows exponentially with empties, so candidates are solved in
+    *empties-ascending* order (cheapest and most label-valuable first) and
+    solving stops once ``budget_s`` wall-clock seconds are spent — deeper
+    positions keep their realized-outcome label. The returned stats make the
+    spend visible per batch (VERDICT r2 item 4: no silent stalls):
+    ``candidates``, ``solved`` (positions relabeled), ``unique_solves``
+    (actual solver calls after dedup), ``skipped`` (budget-truncated),
+    ``seconds``, ``max_empties_solved``, ``changed`` (labels that differ
+    from the realized outcome).
     """
+    stats = {"candidates": 0, "solved": 0, "unique_solves": 0,
+             "skipped": 0, "seconds": 0.0, "max_empties_solved": 0,
+             "changed": 0}
     if max_empties <= 0:
-        return traj
+        return traj, stats
+    import time as _time
+
     from .env import endgame as endgame_lib
 
     stones = np.asarray(traj.planes[..., :2])  # [T, B, 8, 8, 2] mover/opp
     valid = np.asarray(traj.valid)
-    candidates = valid & (64 - stones.sum((-1, -2, -3)) <= max_empties)
+    empties = 64 - stones.sum((-1, -2, -3)).astype(np.int64)
+    candidates = valid & (empties <= max_empties)
+    stats["candidates"] = int(candidates.sum())
     if not candidates.any():
-        return traj
+        return traj, stats
 
     to_move = np.asarray(traj.to_move)
     value = np.asarray(traj.value).copy()
@@ -338,14 +359,43 @@ def relabel_exact_values(traj: Trajectory, max_empties: int,
         bits = np.packbits(board8x8.reshape(64) > 0.5, bitorder="little")
         return int.from_bytes(bits.tobytes(), "little")
 
-    for t, b in zip(*np.nonzero(candidates)):
+    ts, bs = np.nonzero(candidates)
+    order = np.argsort(empties[ts, bs], kind="stable")
+    t0 = _time.perf_counter()
+    cache: Dict[Tuple[int, int, int], float] = {}
+    for i, (t, b) in enumerate(zip(ts[order], bs[order])):
+        if budget_s is not None and _time.perf_counter() - t0 > budget_s:
+            stats["skipped"] = len(order) - i
+            break
         mine = pack(stones[t, b, :, :, 0])
         theirs = pack(stones[t, b, :, :, 1])
         mover = int(to_move[t, b])
         black, white = (mine, theirs) if mover == env.BLACK \
             else (theirs, mine)
-        # recorded positions always have a legal move for the mover (the
-        # env auto-passes, board.py:242-249 semantics), so passed=0
-        res = solver.solve_wdl(black, white, mover)
-        value[t, b] = float(np.sign(res.value))
-    return traj._replace(value=jnp.asarray(value, jnp.float32))
+        key = (black, white, mover)
+        exact = cache.get(key)
+        if exact is None:
+            # recorded positions always have a legal move for the mover (the
+            # env auto-passes, board.py:242-249 semantics), so passed=0
+            exact = float(np.sign(solver.solve_wdl(black, white,
+                                                   mover).value))
+            cache[key] = exact
+            stats["unique_solves"] += 1
+        stats["solved"] += 1
+        stats["max_empties_solved"] = max(stats["max_empties_solved"],
+                                          int(empties[t, b]))
+        if exact != value[t, b]:
+            stats["changed"] += 1
+        value[t, b] = exact
+    stats["seconds"] = _time.perf_counter() - t0
+    return traj._replace(value=jnp.asarray(value, jnp.float32)), stats
+
+
+def relabel_exact_values(traj: Trajectory, max_empties: int,
+                         compat: bool = False,
+                         budget_s: Optional[float] = None) -> Trajectory:
+    """Stats-free wrapper of ``relabel_exact_values_with_stats``."""
+    traj, _ = relabel_exact_values_with_stats(traj, max_empties,
+                                              compat=compat,
+                                              budget_s=budget_s)
+    return traj

@@ -9,8 +9,10 @@ the driver-set north-star target of 1M env-steps/s/chip; ``mcts_*`` tracks
 the flagship search operating point (B=1024 games, 400 sims/move, 5x128
 bf16 net) and ``mcts_peak_*`` the fast operating point (tiny 1x16 net, 32
 sims — DummyModel scale, like the reference's own benchmark) against the
-50k moves/s/chip target, and ``gumbel_*`` the Gumbel sequential-halving
-search at that same point (mcts/gumbel.py) (BASELINE.md — the reference itself publishes no numbers; its own
+50k moves/s/chip target, ``gumbel_*`` the Gumbel sequential-halving
+search at that same point (mcts/gumbel.py), and ``gumbel_flagship_*`` the
+Gumbel searcher on the flagship 5x128 net — the flagship *training*
+operating point (configs/flagship_run.json) (BASELINE.md — the reference itself publishes no numbers; its own
 harnesses measure the same quantities: /root/reference/
 test_cython_performance_fixed.py:10-46 for env stepping and
 /root/reference/src/mcts/MCTS_benchmark.py:101-191 for search throughput;
@@ -132,6 +134,22 @@ def bench_gumbel(batch: int = 1024, sims: int = 32,
     return row["moves_per_s"]
 
 
+def bench_gumbel_flagship(batch: int = 1024, sims: int = 32,
+                          leaf_batch: int = 1, moves: int = 16) -> float:
+    """The training-relevant strength-per-second cell: Gumbel sequential
+    halving on the FLAGSHIP 5x128 bf16 net at 32 sims — the searcher/net the
+    flagship training operating point actually runs
+    (configs/flagship_run.json; measured best leaf_batch=1, num_stages=4:
+    refbench/sustained_tpu.jsonl 2026-08-19 rows)."""
+    from alphazero_reversi_tpu.benchmarks import bench_mcts_sustained
+
+    row = bench_mcts_sustained(batch, sims, moves=moves,
+                               num_res_blocks=5, num_filters=128,
+                               leaf_batch=leaf_batch, num_stages=4,
+                               algorithm="gumbel")
+    return row["moves_per_s"]
+
+
 def _start_watchdog(budget_s: float, what: str):
     """Hard-exit if the device stops responding: the axon relay can die
     (observed 2026-08-17 — jax calls then block forever in C++ land where
@@ -178,6 +196,9 @@ def main() -> int:
     gumbel = bench_gumbel()
     print(f"gumbel sustained (tiny net, 32 sims): {gumbel:.0f} moves/s",
           file=sys.stderr)
+    gumbel_flag = bench_gumbel_flagship()
+    print(f"gumbel flagship sustained (5x128 net, 32 sims): "
+          f"{gumbel_flag:.0f} moves/s", file=sys.stderr)
     print(json.dumps({
         "metric": "env_steps_per_s",
         "value": round(value, 1),
@@ -190,6 +211,11 @@ def main() -> int:
         "mcts_peak_vs_baseline": round(peak / MCTS_NORTH_STAR, 4),
         "gumbel_moves_per_s": round(gumbel, 1),
         "gumbel_vs_baseline": round(gumbel / MCTS_NORTH_STAR, 4),
+        "gumbel_flagship_moves_per_s": round(gumbel_flag, 1),
+        "gumbel_flagship_operating_point":
+            "5x128 bf16 net, 32 sims, leaf_batch 1",
+        "gumbel_flagship_vs_baseline": round(gumbel_flag / MCTS_NORTH_STAR,
+                                             4),
     }))
     return 0
 
