@@ -94,6 +94,30 @@ def bench_env(batch: int = 8192, steps: int = 512, repeats: int = 5,
     }
 
 
+def _memory_columns() -> Dict[str, float]:
+    """Memory usage columns for a benchmark row — the TPU analog of the
+    reference harness's RSS + tracemalloc columns
+    (/root/reference/src/mcts/MCTS_benchmark.py:136-168): device HBM
+    in-use/peak bytes (``Device.memory_stats``, available on TPU; absent on
+    the CPU backend) plus host RSS."""
+    out: Dict[str, float] = {}
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        if "bytes_in_use" in stats:
+            out["hbm_bytes_in_use"] = int(stats["bytes_in_use"])
+        if "peak_bytes_in_use" in stats:
+            out["hbm_peak_bytes"] = int(stats["peak_bytes_in_use"])
+    except Exception:
+        pass  # backend without memory_stats
+    try:
+        import psutil
+
+        out["host_rss_bytes"] = int(psutil.Process().memory_info().rss)
+    except Exception:
+        pass
+    return out
+
+
 # ---------------------------------------------------------------------------
 # MCTS search
 # ---------------------------------------------------------------------------
@@ -136,6 +160,7 @@ def bench_mcts(batch_sizes: Optional[List[int]] = None,
             "time_per_search_s": best,
             "moves_per_s": b / best,
             "nodes_per_s": b * num_simulations / best,
+            **_memory_columns(),
         })
     return results
 
@@ -206,6 +231,7 @@ def bench_mcts_sustained(batch: int = 1024, num_simulations: int = 400,
         "time_per_move_s": best / moves,
         "moves_per_s": batch * moves / best,
         "nodes_per_s": batch * moves * num_simulations / best,
+        **_memory_columns(),
     }
 
 

@@ -25,7 +25,16 @@ import orbax.checkpoint as ocp
 _STEP_RE = re.compile(r"^it_(\d+)$")
 
 
-def _checkpointer() -> ocp.StandardCheckpointer:
+def _checkpointer(primary_only: bool = False) -> ocp.StandardCheckpointer:
+    """``primary_only=True`` builds a checkpointer whose internal barriers
+    involve only process 0 — the multi-controller pipeline fetches the
+    (replicated) state to host numpy and writes from the primary process
+    alone (parallel.multihost), so the other processes never enter orbax
+    and must not be waited on."""
+    if primary_only and jax.process_count() > 1:
+        return ocp.StandardCheckpointer(
+            multiprocessing_options=ocp.options.MultiprocessingOptions(
+                primary_host=0, active_processes={0}))
     return ocp.StandardCheckpointer()
 
 
@@ -48,8 +57,8 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     return best
 
 
-def save_checkpoint(ckpt_dir: str, iteration: int, tree: Dict[str, Any]
-                    ) -> str:
+def save_checkpoint(ckpt_dir: str, iteration: int, tree: Dict[str, Any],
+                    primary_only: bool = False) -> str:
     """Atomically write ``tree`` as ``<ckpt_dir>/it_<iteration>``.
 
     ``tree`` is any pytree of arrays/scalars (the pipeline passes
@@ -57,7 +66,7 @@ def save_checkpoint(ckpt_dir: str, iteration: int, tree: Dict[str, Any]
     "replay": ReplayBuffer?}``) — the analog of pipeline.py:469-478's dict.
     """
     path = checkpoint_path(ckpt_dir, iteration)
-    ckptr = _checkpointer()
+    ckptr = _checkpointer(primary_only=primary_only)
     ckptr.save(path, tree, force=True)
     ckptr.wait_until_finished()
     return path
@@ -97,11 +106,12 @@ def restore_checkpoint(path: str, template: Dict[str, Any]) -> Dict[str, Any]:
     return _checkpointer().restore(os.path.abspath(path), abstract)
 
 
-def save_best(ckpt_dir: str, variables: Dict[str, Any]) -> str:
+def save_best(ckpt_dir: str, variables: Dict[str, Any],
+              primary_only: bool = False) -> str:
     """Weights-only best model (``best_model.pth`` analog,
     pipeline.py:483-486)."""
     path = os.path.join(os.path.abspath(ckpt_dir), "best_model")
-    ckptr = _checkpointer()
+    ckptr = _checkpointer(primary_only=primary_only)
     ckptr.save(path, variables, force=True)
     ckptr.wait_until_finished()
     return path

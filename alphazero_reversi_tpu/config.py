@@ -33,6 +33,12 @@ class ModelConfig:
     value_head_channels: int = 1
     dropout: float = 0.0
     compute_dtype: str = "bfloat16"  # MXU-native; params stay float32
+    # False = BN-free variant (conv biases instead of BatchNorm): no batch
+    # statistics, so DP training is bit-equivalent to single-device
+    # large-batch SGD (models/resnet.py) — used by the dryrun's exact
+    # DP-vs-single cross-check and appropriate when per-shard batches are
+    # too small for stable BN statistics. True matches the reference net.
+    use_batch_norm: bool = True
 
 
 @dataclass

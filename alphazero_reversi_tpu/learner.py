@@ -82,7 +82,8 @@ def create_train_state(net, variables: Dict[str, Any],
     # copy: train_step donates the state, which would otherwise invalidate
     # the caller's ``variables`` buffers after the first step
     params = jax.tree_util.tree_map(jnp.copy, variables["params"])
-    batch_stats = jax.tree_util.tree_map(jnp.copy, variables["batch_stats"])
+    batch_stats = jax.tree_util.tree_map(jnp.copy,
+                                         variables.get("batch_stats", {}))
     return TrainState(
         params=params,
         batch_stats=batch_stats,

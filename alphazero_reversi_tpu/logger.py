@@ -19,11 +19,18 @@ class Logger:
 
     def __init__(self, log_dir: str, run_name: str = "run",
                  level: str = "INFO", use_tensorboard: bool = True,
-                 verbose: bool = True):
+                 verbose: bool = True, file_output: bool = True):
+        """``file_output=False`` makes a write-nothing logger: no run dir,
+        no training.log, no TensorBoard, no config/model-graph snapshots —
+        console only (if ``verbose``). Non-primary processes of a
+        multi-controller run use this so exactly one process owns the
+        artifacts (parallel.multihost)."""
         self.run_dir = os.path.join(os.path.abspath(log_dir), run_name)
-        os.makedirs(self.run_dir, exist_ok=True)
+        self._file_output = file_output
+        if file_output:
+            os.makedirs(self.run_dir, exist_ok=True)
         self._tb = None
-        self._use_tb = use_tensorboard
+        self._use_tb = use_tensorboard and file_output
 
         self.logger = logging.getLogger(f"alphazero_tpu.{run_name}")
         self.logger.setLevel(getattr(logging, level.upper(), logging.INFO))
@@ -31,13 +38,17 @@ class Logger:
         self.logger.propagate = False
         fmt = logging.Formatter(
             "%(asctime)s - %(name)s - %(levelname)s - %(message)s")
-        fh = logging.FileHandler(os.path.join(self.run_dir, "training.log"))
-        fh.setFormatter(fmt)
-        self.logger.addHandler(fh)
+        if file_output:
+            fh = logging.FileHandler(
+                os.path.join(self.run_dir, "training.log"))
+            fh.setFormatter(fmt)
+            self.logger.addHandler(fh)
         if verbose:
             sh = logging.StreamHandler()
             sh.setFormatter(fmt)
             self.logger.addHandler(sh)
+        if not self.logger.handlers:
+            self.logger.addHandler(logging.NullHandler())
 
     # -- plain logging ----------------------------------------------------
     def info(self, msg: str, *args) -> None:
@@ -86,6 +97,8 @@ class Logger:
         ``add_graph``; the JAX equivalent of a traced module graph is the
         tabulated Flax module summary (layers, shapes, param counts) —
         logged as text and written to ``model_graph.txt`` in the run dir."""
+        if not self._file_output:
+            return
         with open(os.path.join(self.run_dir, "model_graph.txt"), "w") as f:
             f.write(graph_text)
         self.log_text("model/graph", f"```\n{graph_text}\n```")
@@ -101,6 +114,8 @@ class Logger:
 
     def log_config(self, config_dict: Dict[str, Any]) -> None:
         """Config snapshot into the run dir (logger.py:60-66)."""
+        if not self._file_output:
+            return
         with open(os.path.join(self.run_dir, "config.json"), "w") as f:
             json.dump(config_dict, f, indent=2)
 

@@ -41,18 +41,22 @@ class ResBlock(nn.Module):
 
     filters: int
     dtype: Any = jnp.bfloat16
+    use_batch_norm: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
-        y = nn.Conv(self.filters, (3, 3), use_bias=False, dtype=self.dtype,
+        bias = not self.use_batch_norm
+        y = nn.Conv(self.filters, (3, 3), use_bias=bias, dtype=self.dtype,
                     name="conv1")(x)
-        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
-                         name="bn1")(y)
+        if self.use_batch_norm:
+            y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                             name="bn1")(y)
         y = nn.relu(y)
-        y = nn.Conv(self.filters, (3, 3), use_bias=False, dtype=self.dtype,
+        y = nn.Conv(self.filters, (3, 3), use_bias=bias, dtype=self.dtype,
                     name="conv2")(y)
-        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
-                         name="bn2")(y)
+        if self.use_batch_norm:
+            y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                             name="bn2")(y)
         return nn.relu(y + x)
 
 
@@ -67,30 +71,41 @@ class AlphaZeroNet(nn.Module):
     dropout: float = 0.0
     board_size: int = 8
     dtype: Any = jnp.bfloat16
+    # BatchNorm everywhere, like the reference (network.py:97-115). False
+    # swaps every BN for a conv bias: no batch statistics at all, so the
+    # DP train step is bit-equivalent to large-batch single-device SGD
+    # (per-shard BN statistics are the only DP-vs-single divergence; see
+    # __graft_entry__.dryrun_multichip's exact leg) — also the standard
+    # choice when per-shard batches are too small for stable BN stats.
+    use_batch_norm: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False
                  ) -> Tuple[jax.Array, jax.Array]:
         """x: [B, board, board, 3] float planes -> (logits [B, 65], value [B])."""
+        bias = not self.use_batch_norm
         x = x.astype(self.dtype)
-        x = nn.Conv(self.num_filters, (3, 3), use_bias=False, dtype=self.dtype,
+        x = nn.Conv(self.num_filters, (3, 3), use_bias=bias, dtype=self.dtype,
                     name="stem_conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
-                         name="stem_bn")(x)
+        if self.use_batch_norm:
+            x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                             name="stem_bn")(x)
         x = nn.relu(x)
 
         for i in range(self.num_res_blocks):
-            x = ResBlock(self.num_filters, dtype=self.dtype, name=f"res{i}")(
-                x, train)
+            x = ResBlock(self.num_filters, dtype=self.dtype,
+                         use_batch_norm=self.use_batch_norm,
+                         name=f"res{i}")(x, train)
 
         if self.dropout > 0.0:
             x = nn.Dropout(rate=self.dropout, deterministic=not train)(x)
 
         # Policy head (network.py:104-108)
-        p = nn.Conv(self.policy_head_channels, (1, 1), use_bias=False,
+        p = nn.Conv(self.policy_head_channels, (1, 1), use_bias=bias,
                     dtype=self.dtype, name="policy_conv")(x)
-        p = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
-                         name="policy_bn")(p)
+        if self.use_batch_norm:
+            p = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                             name="policy_bn")(p)
         p = nn.relu(p)
         p = p.reshape(p.shape[0], -1)
         n_actions = self.board_size * self.board_size + 1
@@ -98,10 +113,11 @@ class AlphaZeroNet(nn.Module):
             p.astype(jnp.float32))
 
         # Value head (network.py:111-115)
-        v = nn.Conv(self.value_head_channels, (1, 1), use_bias=False,
+        v = nn.Conv(self.value_head_channels, (1, 1), use_bias=bias,
                     dtype=self.dtype, name="value_conv")(x)
-        v = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
-                         name="value_bn")(v)
+        if self.use_batch_norm:
+            v = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                             name="value_bn")(v)
         v = nn.relu(v)
         v = v.reshape(v.shape[0], -1).astype(jnp.float32)
         v = nn.relu(nn.Dense(self.value_head_hidden_size, dtype=jnp.float32,
@@ -120,15 +136,19 @@ def build_network(cfg: ModelConfig) -> AlphaZeroNet:
         dropout=cfg.dropout,
         board_size=cfg.board_size,
         dtype=_dtype(cfg.compute_dtype),
+        use_batch_norm=cfg.use_batch_norm,
     )
 
 
 def init_variables(net: AlphaZeroNet, rng: jax.Array,
                    batch_size: int = 1) -> Dict[str, Any]:
-    """Initialize {'params', 'batch_stats'} for the net."""
+    """Initialize {'params', 'batch_stats'} for the net (``batch_stats``
+    is an empty dict for BN-free nets, keeping one pytree structure)."""
     dummy = jnp.zeros((batch_size, net.board_size, net.board_size, 3),
                       jnp.float32)
-    return net.init({"params": rng}, dummy, train=False)
+    variables = dict(net.init({"params": rng}, dummy, train=False))
+    variables.setdefault("batch_stats", {})
+    return variables
 
 
 def apply_eval(net: AlphaZeroNet, variables: Dict[str, Any], planes: jax.Array
@@ -148,7 +168,7 @@ def apply_train(net: AlphaZeroNet, variables: Dict[str, Any], planes: jax.Array,
     rngs = {"dropout": dropout_rng} if dropout_rng is not None else {}
     (logits, value), mutated = net.apply(
         variables, planes, train=True, mutable=["batch_stats"], rngs=rngs)
-    return (logits, value), mutated
+    return (logits, value), dict(mutated) if mutated else {"batch_stats": {}}
 
 
 def masked_policy(logits: jax.Array, legal_mask: jax.Array) -> jax.Array:

@@ -1,0 +1,178 @@
+"""Multi-controller (multi-process) helpers for the product pipeline.
+
+The reference is single-process (SURVEY.md §2.3; its PLAN.md:196
+"Implement distributed training" was never built). This framework's
+collectives are proven cross-process at the DPTrainer level
+(tests/test_multiprocess.py, gloo CPU); this module carries the remaining
+product-layer obligations of a multi-controller run of
+``AlphaZeroPipeline`` — every process executes the same program over the
+global mesh, but exactly ONE writes artifacts and all of them must agree
+bit-exactly on control decisions:
+
+* **primary-only side effects** — checkpoints, best-model saves, logging,
+  trajectory persistence happen on ``jax.process_index() == 0`` only.
+* **replicated fetches** — host access to a global array goes through an
+  explicit reshard-to-replicated (an all-gather when the value was
+  sharded), because ``np.asarray`` on a non-fully-addressable array raises.
+* **agreement** — the promotion decision is computed identically on every
+  process (same PRNG key, same replicated weights, deterministic arena)
+  and then broadcast from process 0 anyway, so divergence is impossible
+  rather than merely unlikely.
+* **process-local batch work** — host-side post-processing of a sharded
+  self-play batch (the exact-endgame relabeling) runs on each process's
+  OWN shard of the games and reassembles a global array
+  (``jax.make_array_from_process_local_data``) — the solver work
+  parallelizes across hosts instead of being duplicated.
+
+Single-process calls collapse to cheap no-ops, so the pipeline uses these
+helpers unconditionally.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from . import mesh as mesh_lib
+
+
+def process_count() -> int:
+    return jax.process_count()
+
+
+def is_multiprocess() -> bool:
+    return jax.process_count() > 1
+
+
+def is_primary() -> bool:
+    """True on the process that owns all file writes and logging."""
+    return jax.process_index() == 0
+
+
+def fetch_replicated(mesh: Mesh, tree: Any) -> Any:
+    """Host (numpy) copy of a pytree of global arrays on EVERY process.
+
+    Leaves are resharded to fully-replicated first (an all-gather for
+    sharded leaves, a no-op for already-replicated ones) — ``np.asarray``
+    alone raises on non-fully-addressable arrays. Non-jax leaves pass
+    through ``np.asarray`` directly.
+    """
+    repl = mesh_lib.replicated(mesh)
+
+    def fetch(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            x = jax.device_put(x, repl)
+        return np.asarray(x)
+
+    return jax.tree_util.tree_map(fetch, tree)
+
+
+def local_block(arr: jax.Array, axis: int) -> np.ndarray:
+    """This process's contiguous block of a global array sharded along
+    ``axis`` (replicated along every other axis), as numpy.
+
+    Standard meshes enumerate ``jax.devices()`` process-major, so one
+    process's shards are contiguous along the sharded axis; asserted here
+    rather than assumed.
+    """
+    shards = sorted(arr.addressable_shards,
+                    key=lambda s: s.index[axis].start or 0)
+    blocks = [np.asarray(s.data) for s in shards]
+    starts = [s.index[axis].start or 0 for s in shards]
+    stops = [s.index[axis].stop if s.index[axis].stop is not None
+             else arr.shape[axis] for s in shards]
+    for i in range(1, len(shards)):
+        if starts[i] != stops[i - 1]:
+            raise ValueError(
+                f"process-local shards not contiguous along axis {axis}: "
+                f"{list(zip(starts, stops))}")
+    # drop duplicate replicas of the same slice (axis replicated on the
+    # model dimension): identical indices appear once per replica
+    out = []
+    seen = set()
+    for st, sp, b in zip(starts, stops, blocks):
+        if (st, sp) in seen:
+            continue
+        seen.add((st, sp))
+        out.append(b)
+    return np.concatenate(out, axis=axis) if len(out) > 1 else out[0]
+
+
+def from_local_block(mesh: Mesh, local: np.ndarray, axis: int) -> jax.Array:
+    """Inverse of ``local_block``: build the global array (sharded along
+    ``axis`` over the data mesh axis) from each process's block."""
+    spec = tuple(mesh_lib.DATA_AXIS if i == axis else None
+                 for i in range(local.ndim))
+    sharding = NamedSharding(mesh, P(*spec))
+    return jax.make_array_from_process_local_data(sharding, local)
+
+
+def canonical_tb_sharding(mesh: Mesh, x: jax.Array) -> jax.Array:
+    """Reshard a ``[T, B, ...]`` trajectory array to the canonical layout:
+    games (axis 1) split over the data mesh axis, everything else
+    replicated. A no-op when XLA already chose that sharding."""
+    spec = tuple(mesh_lib.DATA_AXIS if i == 1 else None
+                 for i in range(x.ndim))
+    return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+
+def aggregate_stats(stats: dict) -> dict:
+    """Combine per-process host-side stats dicts: sums counts, maxes the
+    wall-clock/extremum fields. No-op single-process."""
+    if not is_multiprocess():
+        return stats
+    from jax.experimental import multihost_utils
+
+    keys = sorted(stats)
+    vec = np.asarray([float(stats[k]) for k in keys], np.float64)
+    gathered = np.asarray(multihost_utils.process_allgather(vec))
+    out = {}
+    for i, k in enumerate(keys):
+        col = gathered[:, i]
+        out[k] = float(col.max()) if k in ("seconds", "max_empties_solved") \
+            else float(col.sum())
+    return out
+
+
+def relabel_sharded(mesh: Mesh, traj, max_empties: int, compat: bool,
+                    budget_s):
+    """Multi-controller form of ``selfplay.relabel_exact_values_with_stats``:
+    each process runs the native endgame solver over its OWN shard of the
+    games (the solver work parallelizes across hosts; per-process wall clock
+    is bounded by ``budget_s``) and the relabeled value plane is reassembled
+    into a global array. Returns ``(traj, aggregated_stats)``."""
+    from .. import selfplay as selfplay_lib
+
+    planes = canonical_tb_sharding(mesh, traj.planes)
+    to_move = canonical_tb_sharding(mesh, traj.to_move)
+    valid = canonical_tb_sharding(mesh, traj.valid)
+    value = canonical_tb_sharding(mesh, traj.value)
+    new_local, stats = selfplay_lib.relabel_np(
+        local_block(planes, 1), local_block(to_move, 1),
+        local_block(valid, 1), local_block(value, 1),
+        max_empties=max_empties, compat=compat, budget_s=budget_s)
+    new_value = from_local_block(mesh, np.ascontiguousarray(new_local), 1)
+    return traj._replace(value=new_value), aggregate_stats(stats)
+
+
+def broadcast_from_primary(value):
+    """Bit-exact agreement on a (small) host value: process 0's copy wins.
+    No-op single-process."""
+    if not is_multiprocess():
+        return value
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.broadcast_one_to_all(value)
+
+
+def barrier(name: str) -> None:
+    """Block until every process reaches this point (e.g. so a checkpoint
+    written by the primary is visible before anyone resumes from it).
+    No-op single-process."""
+    if not is_multiprocess():
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)

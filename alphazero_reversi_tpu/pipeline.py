@@ -46,6 +46,7 @@ from .logger import Logger, setup_logger
 from .models import resnet
 from .parallel import dp as dp_lib
 from .parallel import mesh as mesh_lib
+from .parallel import multihost as mh
 
 
 def make_checkpoint_template(config: Config) -> Dict[str, Any]:
@@ -72,6 +73,11 @@ class AlphaZeroPipeline:
     def __init__(self, config: Config, run_name: str = "run",
                  logger: Optional[Logger] = None):
         self.config = config
+        # multi-controller discipline (parallel.multihost): every process
+        # runs the same program over the global mesh with the SAME seed
+        # (identical keys -> identical host-side decisions), but only the
+        # primary process writes artifacts or logs
+        self.is_primary = mh.is_primary()
         self.key = jax.random.PRNGKey(config.seed)
 
         self.net = resnet.build_network(config.model)
@@ -109,6 +115,12 @@ class AlphaZeroPipeline:
                                                config.training)
         self.buffer = replay_lib.create(config.training.replay_capacity,
                                         board_size=config.model.board_size)
+        if mh.is_multiprocess():
+            # pin the buffer fully-replicated so replay insert/sample are
+            # well-defined global computations and the checkpoint tree is
+            # host-fetchable on the primary
+            self.buffer = mesh_lib.replicate(
+                self.mesh, jax.tree_util.tree_map(np.asarray, self.buffer))
         self.selfplay = selfplay_lib.SelfPlay(
             self.net, variables, config.mcts, config.self_play,
             compat=config.env_compat)
@@ -124,11 +136,15 @@ class AlphaZeroPipeline:
         self.iteration = 0
         self.best_elo = float(config.tournament.elo_initial)
         self.metrics_history: list = []
+        # non-primary processes log nothing and write nothing (file_output
+        # gates the run dir, training.log, TB, config/model-graph snapshots)
         self.logger = logger or setup_logger(
             config.logging.log_dir, run_name,
             level=config.logging.log_level,
-            use_tensorboard=config.logging.use_tensorboard,
-            verbose=config.logging.verbose)
+            use_tensorboard=(config.logging.use_tensorboard
+                             and self.is_primary),
+            verbose=config.logging.verbose and self.is_primary,
+            file_output=self.is_primary)
         self.logger.log_config(config.to_dict())
         # model-graph analog (reference: Logger.log_model_graph,
         # src/logger.py:127-130): the tabulated Flax module summary
@@ -154,17 +170,28 @@ class AlphaZeroPipeline:
         }
 
     def save_checkpoint(self) -> str:
-        path = ckpt_lib.save_checkpoint(
-            self.config.training.checkpoint_dir, self.iteration,
-            self._checkpoint_tree())
-        self.logger.info("checkpoint saved: %s", path)
-        if self.config.logging.save_best_only:
-            # keep only the latest full checkpoint + the best-model weights
-            # (LoggingConfig.save_best_only semantics — see
-            # checkpoint.prune_checkpoints)
-            for old in ckpt_lib.prune_checkpoints(
-                    self.config.training.checkpoint_dir, keep_latest=1):
-                self.logger.info("pruned old checkpoint: %s", old)
+        tree = self._checkpoint_tree()
+        if mh.is_multiprocess():
+            # replicated state -> host numpy on every process (cheap: the
+            # all-gather is a no-op for replicated leaves), then ONE writer
+            tree = mh.fetch_replicated(self.mesh, tree)
+        path = ckpt_lib.checkpoint_path(
+            self.config.training.checkpoint_dir, self.iteration)
+        if self.is_primary:
+            path = ckpt_lib.save_checkpoint(
+                self.config.training.checkpoint_dir, self.iteration, tree,
+                primary_only=True)
+            self.logger.info("checkpoint saved: %s", path)
+            if self.config.logging.save_best_only:
+                # keep only the latest full checkpoint + the best-model
+                # weights (LoggingConfig.save_best_only semantics — see
+                # checkpoint.prune_checkpoints)
+                for old in ckpt_lib.prune_checkpoints(
+                        self.config.training.checkpoint_dir, keep_latest=1):
+                    self.logger.info("pruned old checkpoint: %s", old)
+        # everyone waits for the write, so a subsequent restore (on any
+        # process) sees a finalized checkpoint
+        mh.barrier(f"save_checkpoint_{self.iteration}")
         return path
 
     def load_checkpoint(self, path: Optional[str] = None) -> bool:
@@ -179,13 +206,21 @@ class AlphaZeroPipeline:
         state = learner_lib.TrainState(*restored["state"]) \
             if not isinstance(restored["state"], learner_lib.TrainState) \
             else restored["state"]
-        if self.num_devices > 1:
-            state = mesh_lib.replicate(self.mesh, state)
-        self.learner.state = state
-        self.best_variables = restored["best_variables"]
-        self.buffer = replay_lib.ReplayBuffer(*restored["replay"]) \
+        best_variables = restored["best_variables"]
+        buffer = replay_lib.ReplayBuffer(*restored["replay"]) \
             if not isinstance(restored["replay"], replay_lib.ReplayBuffer) \
             else restored["replay"]
+        if mh.is_multiprocess():
+            # re-pin everything fully-replicated over the global mesh (the
+            # restored leaves may be host- or process-local)
+            state, best_variables, buffer = mesh_lib.replicate(
+                self.mesh, mh.fetch_replicated(
+                    self.mesh, (state, best_variables, buffer)))
+        elif self.num_devices > 1:
+            state = mesh_lib.replicate(self.mesh, state)
+        self.learner.state = state
+        self.best_variables = best_variables
+        self.buffer = buffer
         self.iteration = int(restored["iteration"])
         self.best_elo = float(restored["best_elo"])
         self.key = restored["rng"]
@@ -226,12 +261,20 @@ class AlphaZeroPipeline:
             if sp_cfg.exact_value_empties > 0:
                 # ground-truth value labels for late positions (native
                 # endgame solver) replace the realized outcome; cost is
-                # wall-clock-bounded and surfaced in the iteration metrics
+                # wall-clock-bounded and surfaced in the iteration metrics.
+                # Multi-controller: each process solves its own game shard
+                # (parallel.multihost.relabel_sharded)
                 budget = (sp_cfg.exact_value_budget_s
                           if sp_cfg.exact_value_budget_s > 0 else None)
-                traj, rstats = selfplay_lib.relabel_exact_values_with_stats(
-                    traj, sp_cfg.exact_value_empties,
-                    compat=self.config.env_compat, budget_s=budget)
+                if mh.is_multiprocess():
+                    traj, rstats = mh.relabel_sharded(
+                        self.mesh, traj, sp_cfg.exact_value_empties,
+                        self.config.env_compat, budget)
+                else:
+                    traj, rstats = \
+                        selfplay_lib.relabel_exact_values_with_stats(
+                            traj, sp_cfg.exact_value_empties,
+                            compat=self.config.env_compat, budget_s=budget)
                 for k, v in rstats.items():
                     relabel_stats[k] = relabel_stats.get(k, 0) + v
                 if rstats["skipped"]:
@@ -243,14 +286,26 @@ class AlphaZeroPipeline:
                         rstats["max_empties_solved"])
             if (sp_cfg.save_every > 0
                     and self.iteration % sp_cfg.save_every == 0):
-                selfplay_lib.save_trajectory(
-                    traj, sp_cfg.save_dir, f"it{self.iteration:06d}_b{b}")
+                to_save = traj
+                if mh.is_multiprocess():
+                    # gather the sharded batch; only the primary persists
+                    to_save = mh.fetch_replicated(self.mesh, traj)
+                if self.is_primary:
+                    selfplay_lib.save_trajectory(
+                        to_save, sp_cfg.save_dir,
+                        f"it{self.iteration:06d}_b{b}")
             planes, policy, value, valid = \
                 selfplay_lib.flatten_trajectory(traj)
             self.buffer = replay_lib.add(self.buffer, planes, policy, value,
                                          valid)
             new_positions += int(valid.sum())
             total_slots += int(valid.size)
+        if mh.is_multiprocess():
+            # re-pin the buffer fully-replicated: GSPMD may have chosen a
+            # sharded layout for the insert's output, and sample/checkpoint
+            # assume replicated
+            self.buffer = jax.device_put(self.buffer,
+                                         mesh_lib.replicated(self.mesh))
         # lockstep waste visibility: fraction of searched (slot, game) cells
         # that were live games (PERF.md "self-play tail" note)
         self._last_live_fraction = new_positions / max(1, total_slots)
@@ -277,24 +332,44 @@ class AlphaZeroPipeline:
         promotion gate."""
         cfg = self.config.tournament
         ar = arena_lib.Arena(self.net, cfg, compat=self.config.env_compat)
-        ar.add_player("current", self.learner.variables)
-        ar.add_player("best", self.best_variables)
+        cur_vars, best_vars = self.learner.variables, self.best_variables
+        if mh.is_multiprocess():
+            # run the arena as an identical process-LOCAL computation on
+            # every process: host copies of the replicated weights + the
+            # shared key make the results deterministic-identical, and the
+            # decision is broadcast from the primary anyway so promotion
+            # can never diverge across hosts (VERDICT r2 item 2)
+            cur_vars, best_vars = mh.fetch_replicated(
+                self.mesh, (cur_vars, best_vars))
+        ar.add_player("current", cur_vars)
+        ar.add_player("best", best_vars)
         ar.add_player("random", None)
         self.key, t_key = jax.random.split(self.key)
         board = {p["player_id"]: p["rating"]
                  for p in ar.run_tournament(t_key)}
         current_elo = board["current"]
         promoted = current_elo > board["best"] + cfg.promotion_elo_margin
+        decision = mh.broadcast_from_primary(np.asarray(
+            [current_elo, board["best"], board["random"], float(promoted)],
+            np.float64))
+        current_elo, best_board_elo, random_elo, promoted = (
+            float(decision[0]), float(decision[1]), float(decision[2]),
+            bool(decision[3]))
         if promoted:
             self.best_variables = jax.tree_util.tree_map(
                 jnp.copy, self.learner.variables)
             self.best_elo = current_elo
-            ckpt_lib.save_best(self.config.training.checkpoint_dir,
-                               self.best_variables)
+            if self.is_primary:
+                best_host = (mh.fetch_replicated(self.mesh,
+                                                 self.best_variables)
+                             if mh.is_multiprocess() else
+                             self.best_variables)
+                ckpt_lib.save_best(self.config.training.checkpoint_dir,
+                                   best_host, primary_only=True)
             self.logger.info("model promoted to best (elo %.1f > %.1f)",
-                             current_elo, board["best"])
+                             current_elo, best_board_elo)
         return {"eval/elo": current_elo, "eval/best_elo": self.best_elo,
-                "eval/random_elo": board["random"],
+                "eval/random_elo": random_elo,
                 "eval/promoted": float(promoted)}
 
     def _log_replay_embedding(self, step: int, n: int = 256) -> None:

@@ -334,25 +334,40 @@ def relabel_exact_values_with_stats(
     ``seconds``, ``max_empties_solved``, ``changed`` (labels that differ
     from the realized outcome).
     """
+    value, stats = relabel_np(
+        np.asarray(traj.planes), np.asarray(traj.to_move),
+        np.asarray(traj.valid), np.asarray(traj.value),
+        max_empties=max_empties, compat=compat, budget_s=budget_s)
+    if stats["solved"] == 0:
+        return traj, stats
+    return traj._replace(value=jnp.asarray(value, jnp.float32)), stats
+
+
+def relabel_np(planes: np.ndarray, to_move: np.ndarray, valid: np.ndarray,
+               value: np.ndarray, *, max_empties: int, compat: bool = False,
+               budget_s: Optional[float] = None
+               ) -> Tuple[np.ndarray, Dict[str, float]]:
+    """Host core of ``relabel_exact_values_with_stats`` over numpy blocks —
+    shared by the single-process path and the multi-controller path
+    (``parallel.multihost``: each process relabels its OWN shard of the
+    games, so the solver work parallelizes across hosts)."""
     stats = {"candidates": 0, "solved": 0, "unique_solves": 0,
              "skipped": 0, "seconds": 0.0, "max_empties_solved": 0,
              "changed": 0}
     if max_empties <= 0:
-        return traj, stats
+        return value, stats
     import time as _time
 
     from .env import endgame as endgame_lib
 
-    stones = np.asarray(traj.planes[..., :2])  # [T, B, 8, 8, 2] mover/opp
-    valid = np.asarray(traj.valid)
+    stones = planes[..., :2]  # [T, B, 8, 8, 2] mover/opp
     empties = 64 - stones.sum((-1, -2, -3)).astype(np.int64)
     candidates = valid & (empties <= max_empties)
     stats["candidates"] = int(candidates.sum())
     if not candidates.any():
-        return traj, stats
+        return value, stats
 
-    to_move = np.asarray(traj.to_move)
-    value = np.asarray(traj.value).copy()
+    value = value.copy()
     solver = endgame_lib.EndgameSolver(compat=compat)
 
     def pack(board8x8: np.ndarray) -> int:
@@ -388,7 +403,7 @@ def relabel_exact_values_with_stats(
             stats["changed"] += 1
         value[t, b] = exact
     stats["seconds"] = _time.perf_counter() - t0
-    return traj._replace(value=jnp.asarray(value, jnp.float32)), stats
+    return value, stats
 
 
 def relabel_exact_values(traj: Trajectory, max_empties: int,

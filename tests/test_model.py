@@ -81,3 +81,31 @@ def test_jit_and_vmap_compatible():
     l1, v1 = fwd(variables, x)
     l2, v2 = fwd(variables, x)
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_bn_free_variant():
+    """ModelConfig.use_batch_norm=False: no batch statistics anywhere (the
+    exact-DP variant, models/resnet.py) — forward shapes unchanged, training
+    apply returns an empty batch_stats collection, and a Learner step runs."""
+    from alphazero_reversi_tpu.config import TrainingConfig
+    from alphazero_reversi_tpu.learner import Learner
+
+    cfg = small_cfg()
+    cfg.use_batch_norm = False
+    net = resnet.build_network(cfg)
+    variables = resnet.init_variables(net, jax.random.PRNGKey(0))
+    assert variables["batch_stats"] == {}
+    assert not any("bn" in k for k in variables["params"])
+
+    x = jnp.ones((2, 8, 8, 3))
+    logits, value = resnet.apply_eval(net, variables, x)
+    assert logits.shape == (2, 65) and value.shape == (2,)
+    (logits_t, _), mutated = resnet.apply_train(net, variables, x)
+    assert logits_t.shape == (2, 65)
+    assert dict(mutated).get("batch_stats", {}) in ({}, None) or \
+        not dict(mutated)["batch_stats"]
+
+    lrn = Learner(net, variables, TrainingConfig(batch_size=2))
+    policy = jnp.full((2, 65), 1.0 / 65)
+    aux = lrn.step(jnp.ones((2, 8, 8, 3)), policy, jnp.zeros((2,)))
+    assert np.isfinite(float(aux["loss"]))
