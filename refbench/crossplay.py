@@ -31,6 +31,14 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
+# honor a CPU-platform request BEFORE any backend touch: env vars alone are
+# unreliable in this image (sitecustomize imports jax at interpreter
+# startup — see tests/conftest.py), so go through jax.config
+if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 HERE = os.path.dirname(os.path.abspath(__file__))
