@@ -156,6 +156,14 @@ class TrainingConfig:
     policy_loss: str = "soft"
     replay_capacity: int = 200_000  # device-resident replay buffer positions
     train_on_latest_only: bool = False  # True = reference behavior (no replay)
+    # SGD steps fused into ONE compiled dispatch (learner.train_steps): the
+    # scan samples each batch from the device-resident replay buffer inside
+    # the program, so K steps pay one host round-trip instead of K. >1
+    # amortizes per-dispatch latency (the dominant flagship iteration cost
+    # through the TPU relay, PERF.md); 1 = one dispatch per step. The
+    # per-iteration step budget rounds UP to whole chunks. Single-device
+    # path only (the DP trainer dispatches per step).
+    steps_per_dispatch: int = 1
     # Random dihedral-8 augmentation of sampled positions (symmetry.py, the
     # living replacement for the reference's dead symmetry-hash machinery,
     # mcts.py:369-383). Off by default: compat-mode rules are not

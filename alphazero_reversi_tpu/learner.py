@@ -127,19 +127,13 @@ def loss_fn(net, params, batch_stats, planes: jax.Array, policy_tgt: jax.Array,
     return total, (aux, mutated["batch_stats"])
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("net", "tx", "policy_loss", "policy_weight",
-                     "value_weight", "augment_symmetries"),
-    donate_argnames=("state",),
-)
-def train_step(net, tx, state: TrainState, planes: jax.Array,
+def _step_math(net, tx, state: TrainState, planes: jax.Array,
                policy_tgt: jax.Array, value_tgt: jax.Array,
-               dropout_rng: Optional[jax.Array] = None, *,
-               policy_loss: str = "soft", policy_weight: float = 1.0,
-               value_weight: float = 1.0, augment_symmetries: bool = False
+               dropout_rng: Optional[jax.Array], *, policy_loss: str,
+               policy_weight: float, value_weight: float,
+               augment_symmetries: bool
                ) -> Tuple[TrainState, Dict[str, jax.Array]]:
-    """One SGD step. ``state`` is donated (updated in place in HBM)."""
+    """Pure SGD-step math shared by the one-step and scanned entry points."""
     grad_fn = jax.value_and_grad(
         lambda p: loss_fn(net, p, state.batch_stats, planes, policy_tgt,
                           value_tgt, policy_loss=policy_loss,
@@ -154,6 +148,66 @@ def train_step(net, tx, state: TrainState, planes: jax.Array,
     aux["grad_norm"] = optax.global_norm(grads)
     return TrainState(params=new_params, batch_stats=new_batch_stats,
                       opt_state=new_opt_state, step=state.step + 1), aux
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("net", "tx", "policy_loss", "policy_weight",
+                     "value_weight", "augment_symmetries"),
+    donate_argnames=("state",),
+)
+def train_step(net, tx, state: TrainState, planes: jax.Array,
+               policy_tgt: jax.Array, value_tgt: jax.Array,
+               dropout_rng: Optional[jax.Array] = None, *,
+               policy_loss: str = "soft", policy_weight: float = 1.0,
+               value_weight: float = 1.0, augment_symmetries: bool = False
+               ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+    """One SGD step. ``state`` is donated (updated in place in HBM)."""
+    return _step_math(net, tx, state, planes, policy_tgt, value_tgt,
+                      dropout_rng, policy_loss=policy_loss,
+                      policy_weight=policy_weight, value_weight=value_weight,
+                      augment_symmetries=augment_symmetries)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("net", "tx", "num_steps", "batch_size", "policy_loss",
+                     "policy_weight", "value_weight", "augment_symmetries"),
+    donate_argnames=("state",),
+)
+def train_steps(net, tx, state: TrainState, buffer, key: jax.Array, *,
+                num_steps: int, batch_size: int, policy_loss: str = "soft",
+                policy_weight: float = 1.0, value_weight: float = 1.0,
+                augment_symmetries: bool = False
+                ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+    """``num_steps`` SGD steps in ONE compiled program: a ``lax.scan`` whose
+    body samples a fresh batch from the (device-resident) replay buffer and
+    applies the step math. On this platform a single dispatch carries
+    ~40-120 ms of relay latency (PERF.md pitfall 3) — at the flagship point
+    (~480 steps/iteration at batch 128) per-step dispatch makes SGD the
+    dominant iteration cost; scanning K steps per dispatch amortizes it K-x.
+    Returns the final state and the step-MEAN aux metrics.
+
+    The buffer is read-only inside (self-play inserts happen between
+    iterations), so sampling inside the program is exact, not stale.
+    """
+    from . import replay as replay_lib
+
+    def body(carry, k):
+        state = carry
+        ks, kd = jax.random.split(k)
+        planes, policy_tgt, value_tgt = replay_lib.sample(buffer, ks,
+                                                          batch_size)
+        state, aux = _step_math(net, tx, state, planes, policy_tgt,
+                                value_tgt, kd, policy_loss=policy_loss,
+                                policy_weight=policy_weight,
+                                value_weight=value_weight,
+                                augment_symmetries=augment_symmetries)
+        return state, aux
+
+    keys = jax.random.split(key, num_steps)
+    state, auxs = jax.lax.scan(body, state, keys)
+    return state, jax.tree_util.tree_map(lambda x: x.mean(axis=0), auxs)
 
 
 class Learner:
@@ -179,6 +233,19 @@ class Learner:
         self.state, aux = train_step(
             self.net, self.tx, self.state, planes, policy_tgt, value_tgt,
             dropout_rng,
+            policy_loss=self.cfg.policy_loss,
+            policy_weight=self.cfg.policy_loss_weight,
+            value_weight=self.cfg.value_loss_weight,
+            augment_symmetries=self.cfg.augment_symmetries)
+        return aux
+
+    def steps(self, buffer, key: jax.Array, num_steps: int,
+              batch_size: int) -> Dict[str, jax.Array]:
+        """``num_steps`` scanned SGD steps in one dispatch (``train_steps``),
+        sampling from ``buffer`` inside the program."""
+        self.state, aux = train_steps(
+            self.net, self.tx, self.state, buffer, key,
+            num_steps=num_steps, batch_size=batch_size,
             policy_loss=self.cfg.policy_loss,
             policy_weight=self.cfg.policy_loss_weight,
             value_weight=self.cfg.value_loss_weight,

@@ -314,10 +314,26 @@ class AlphaZeroPipeline:
 
     def _train_epoch(self, num_positions: int) -> Dict[str, float]:
         """One pass of SGD over the fresh data volume
-        (pipeline.py:272-366 analog)."""
+        (pipeline.py:272-366 analog). With ``steps_per_dispatch > 1`` on the
+        single-device learner, SGD runs in scanned chunks — K steps per
+        compiled dispatch, sampling on-device (learner.train_steps) — which
+        amortizes per-dispatch relay latency; the step budget rounds up to
+        whole chunks."""
         cfg = self.config.training
         steps = max(1, math.ceil(num_positions / cfg.batch_size))
+        chunk = max(1, int(cfg.steps_per_dispatch))
         agg: Dict[str, float] = {}
+        if chunk > 1 and isinstance(self.learner, learner_lib.Learner):
+            n_chunks = math.ceil(steps / chunk)
+            steps = n_chunks * chunk
+            for _ in range(n_chunks):
+                self.key, k = jax.random.split(self.key)
+                aux = self.learner.steps(self.buffer, k, chunk,
+                                         cfg.batch_size)
+                for kk, v in aux.items():
+                    agg[kk] = agg.get(kk, 0.0) + float(v)
+            return ({k: v / n_chunks for k, v in agg.items()}
+                    | {"steps": steps})
         for _ in range(steps):
             self.key, sample_key, dropout_key = jax.random.split(self.key, 3)
             batch = replay_lib.sample(self.buffer, sample_key, cfg.batch_size)

@@ -101,3 +101,30 @@ def test_batch_stats_update(net_and_vars):
     after = np.asarray(
         jax.tree_util.tree_leaves(lrn.state.batch_stats)[0])
     assert not np.array_equal(before, after)
+
+
+def test_scanned_train_steps(net_and_vars):
+    """learner.train_steps: K scanned SGD steps in one dispatch, sampling
+    from the replay buffer on-device — step counter advances by K, metrics
+    are finite means, and training actually reduces the loss on a fixed
+    buffer (same data distribution as per-step training)."""
+    from alphazero_reversi_tpu import replay as replay_lib
+
+    net, variables = net_and_vars
+    cfg = TrainingConfig(batch_size=8, learning_rate=1e-2)
+    lrn = learner.Learner(net, variables, cfg)
+
+    buf = replay_lib.create(64)
+    planes, policy, value = _fake_batch(jax.random.PRNGKey(7), n=32)
+    buf = replay_lib.add(buf, planes, policy, value,
+                         jnp.ones((32,), bool))
+
+    aux1 = lrn.steps(buf, jax.random.PRNGKey(1), num_steps=4, batch_size=8)
+    assert int(lrn.state.step) == 4
+    assert np.isfinite(float(aux1["loss"]))
+    assert np.isfinite(float(aux1["grad_norm"]))
+    for _ in range(5):
+        aux2 = lrn.steps(buf, jax.random.PRNGKey(2), num_steps=4,
+                         batch_size=8)
+    assert int(lrn.state.step) == 24
+    assert float(aux2["loss"]) < float(aux1["loss"])
