@@ -280,6 +280,27 @@ class Arena:
         ELO updates, as the reference does (arena.py:347)."""
         rounds = rounds if rounds is not None else self.config.rounds
         n = len(self.players)
+        if getattr(self.config, "batch_rounds", False):
+            # all rounds of a pairing in ONE batched device call: identical
+            # game count and per-game ELO updates; colors split exactly
+            # half/half by play_pair instead of alternating the first mover
+            # by round (TournamentConfig.batch_rounds) — ~rounds-x fewer
+            # dispatches, which dominates small evals through the relay
+            for i in range(n):
+                for j in range(i + 1, n):
+                    total = rounds * self.config.games_per_pair
+                    total += total % 2  # play_pair needs an even batch
+                    if total == 0:
+                        continue
+                    key, match_key = jax.random.split(key)
+                    scores = self.play_games(self.players[i],
+                                             self.players[j], match_key,
+                                             total)
+                    for s in scores:
+                        self.elo.update_ratings(self.players[i].name,
+                                                self.players[j].name,
+                                                float(s))
+            return self.elo.get_leaderboard()
         for round_num in range(rounds):
             for i in range(n):
                 for j in range(i + 1, n):

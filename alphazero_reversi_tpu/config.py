@@ -187,6 +187,13 @@ class TournamentConfig:
     c_visit: float = 50.0
     c_scale: float = 0.1
     games_per_pair: int = 2  # per round, colors alternated
+    # False = reference semantics: every round dispatches each pairing
+    # separately with the first mover alternating by (i+j+round)%2
+    # (arena.py:339-341). True = all rounds of a pairing play as ONE
+    # batched device call with an exact half/half color split — identical
+    # game count and per-game ELO updates, ~rounds-x fewer dispatches (the
+    # per-dispatch relay latency dominates small evals; PERF.md).
+    batch_rounds: bool = False
     temperature: float = 0.1
     output_dir: str = "tournament_results"
     elo_file: str = "elo_ratings.json"

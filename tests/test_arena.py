@@ -162,3 +162,21 @@ def test_save_results(net_and_vars, tmp_path):
     ar.save_results(path)
     loaded = elo_lib.ELORatingSystem.load_ratings(path)
     assert set(loaded.ratings) == {"r1", "r2"}
+
+
+def test_batch_rounds_tournament(net_and_vars):
+    """TournamentConfig.batch_rounds: all rounds of a pairing in one
+    batched call — same total game count and per-game ELO updates, fewer
+    dispatches."""
+    net, variables = net_and_vars
+    cfg = TournamentConfig(rounds=3, num_simulations=4, games_per_pair=2,
+                           temperature=1.0, batch_rounds=True)
+    ar = arena_lib.Arena(net, cfg)
+    ar.add_player("model", variables)
+    ar.add_player("random", None)
+    board = ar.run_tournament(jax.random.PRNGKey(9))
+    assert {p["player_id"] for p in board} == {"model", "random"}
+    # 3 rounds x 2 games per pair = 6 games each
+    assert all(p["games_played"] == 6 for p in board)
+    total = sum(p["rating"] for p in board)
+    assert total == pytest.approx(2 * cfg.elo_initial)
