@@ -33,7 +33,8 @@ import numpy as np  # noqa: E402
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 CKPT = os.path.join(HERE, "workdir_repo_train30", "checkpoints")
-OUT = os.path.join(HERE, "gumbel_strength.json")
+OUT = os.path.join(HERE, os.environ.get("AZR_MATCH_OUT",
+                                        "gumbel_strength.json"))
 
 from alphazero_reversi_tpu import arena  # noqa: E402
 from alphazero_reversi_tpu import checkpoint as ckpt_lib  # noqa: E402
