@@ -24,6 +24,15 @@ import orbax.checkpoint as ocp
 
 _STEP_RE = re.compile(r"^it_(\d+)$")
 
+# Long-lived checkpointers, keyed by the primary-only flag. Orbax's
+# StandardCheckpointer is an AsyncCheckpointer: ``save()`` returns once the
+# arrays are copied OUT of their (device) buffers and the disk write
+# continues on a background thread, so async saves are safe even though the
+# learner's jitted steps donate and overwrite the very buffers being saved.
+# The instances must outlive the ``save_checkpoint`` call for that thread to
+# finish, hence this module-level cache (see ``wait_for_saves``).
+_LIVE: Dict[bool, ocp.StandardCheckpointer] = {}
+
 
 def _checkpointer(primary_only: bool = False) -> ocp.StandardCheckpointer:
     """``primary_only=True`` builds a checkpointer whose internal barriers
@@ -31,11 +40,24 @@ def _checkpointer(primary_only: bool = False) -> ocp.StandardCheckpointer:
     (replicated) state to host numpy and writes from the primary process
     alone (parallel.multihost), so the other processes never enter orbax
     and must not be waited on."""
-    if primary_only and jax.process_count() > 1:
-        return ocp.StandardCheckpointer(
-            multiprocessing_options=ocp.options.MultiprocessingOptions(
-                primary_host=0, active_processes={0}))
-    return ocp.StandardCheckpointer()
+    key = bool(primary_only and jax.process_count() > 1)
+    if key not in _LIVE:
+        if key:
+            _LIVE[key] = ocp.StandardCheckpointer(
+                multiprocessing_options=ocp.options.MultiprocessingOptions(
+                    primary_host=0, active_processes={0}))
+        else:
+            _LIVE[key] = ocp.StandardCheckpointer()
+    return _LIVE[key]
+
+
+def wait_for_saves() -> None:
+    """Block until every in-flight async save has been finalized on disk.
+
+    Call before reading a checkpoint that may still be writing and at
+    train-loop exit (the pipeline does both)."""
+    for ckptr in _LIVE.values():
+        ckptr.wait_until_finished()
 
 
 def checkpoint_path(ckpt_dir: str, iteration: int) -> str:
@@ -44,6 +66,7 @@ def checkpoint_path(ckpt_dir: str, iteration: int) -> str:
 
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     """Most recent ``it_NNNNNN`` directory under ``ckpt_dir``, or None."""
+    wait_for_saves()  # an in-flight async save IS the latest once finalized
     ckpt_dir = os.path.abspath(ckpt_dir)
     if not os.path.isdir(ckpt_dir):
         return None
@@ -58,17 +81,27 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
 
 
 def save_checkpoint(ckpt_dir: str, iteration: int, tree: Dict[str, Any],
-                    primary_only: bool = False) -> str:
+                    primary_only: bool = False,
+                    async_save: bool = False) -> str:
     """Atomically write ``tree`` as ``<ckpt_dir>/it_<iteration>``.
 
     ``tree`` is any pytree of arrays/scalars (the pipeline passes
     ``{"state": TrainState, "iteration": ..., "best_elo": ..., "rng": ...,
     "replay": ReplayBuffer?}``) — the analog of pipeline.py:469-478's dict.
+
+    ``async_save=True`` returns as soon as the data is copied out of the
+    source buffers; the disk write overlaps the caller's next iteration.
+    At most one save is in flight per checkpointer (a new save first waits
+    for the previous one), and the checkpoint directory only gains the
+    ``it_NNNNNN`` name once the write is finalized — readers (``
+    latest_checkpoint``/``prune_checkpoints``) never see a partial write.
     """
     path = checkpoint_path(ckpt_dir, iteration)
     ckptr = _checkpointer(primary_only=primary_only)
-    ckptr.save(path, tree, force=True)
     ckptr.wait_until_finished()
+    ckptr.save(path, tree, force=True)
+    if not async_save:
+        ckptr.wait_until_finished()
     return path
 
 
@@ -101,25 +134,30 @@ def prune_checkpoints(ckpt_dir: str, keep_latest: int = 1) -> list:
 def restore_checkpoint(path: str, template: Dict[str, Any]) -> Dict[str, Any]:
     """Restore a checkpoint into the structure of ``template`` (a concrete
     pytree with the right shapes/dtypes, e.g. a freshly initialized state)."""
+    wait_for_saves()  # a just-scheduled async save must be readable
     abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct,
                                       template)
     return _checkpointer().restore(os.path.abspath(path), abstract)
 
 
 def save_best(ckpt_dir: str, variables: Dict[str, Any],
-              primary_only: bool = False) -> str:
+              primary_only: bool = False,
+              async_save: bool = False) -> str:
     """Weights-only best model (``best_model.pth`` analog,
-    pipeline.py:483-486)."""
+    pipeline.py:483-486). ``async_save`` as in :func:`save_checkpoint`."""
     path = os.path.join(os.path.abspath(ckpt_dir), "best_model")
     ckptr = _checkpointer(primary_only=primary_only)
-    ckptr.save(path, variables, force=True)
     ckptr.wait_until_finished()
+    ckptr.save(path, variables, force=True)
+    if not async_save:
+        ckptr.wait_until_finished()
     return path
 
 
 def restore_best(ckpt_dir: str, template: Dict[str, Any]
                  ) -> Optional[Dict[str, Any]]:
     """Load the best model's variables if present (pipeline.py:398-434)."""
+    wait_for_saves()  # a just-scheduled async save must be readable
     path = os.path.join(os.path.abspath(ckpt_dir), "best_model")
     if not os.path.isdir(path):
         return None

@@ -169,6 +169,14 @@ class TrainingConfig:
     # mcts.py:369-383). Off by default: compat-mode rules are not
     # D4-equivariant and the default pipeline stays reference-matched.
     augment_symmetries: bool = False
+    # Overlap checkpoint disk writes with the next iteration (orbax async
+    # save: arrays are copied out of their buffers before save() returns,
+    # so subsequent donated train steps cannot corrupt the write; the next
+    # save — or train-loop exit — waits for the previous one). Applies to
+    # single-controller runs only: multi-process pipelines keep synchronous
+    # saves so the post-save barrier still hands every process a finalized
+    # checkpoint (pipeline.save_checkpoint).
+    async_checkpointing: bool = True
 
 
 @dataclass

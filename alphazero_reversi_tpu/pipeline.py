@@ -177,15 +177,27 @@ class AlphaZeroPipeline:
             tree = mh.fetch_replicated(self.mesh, tree)
         path = ckpt_lib.checkpoint_path(
             self.config.training.checkpoint_dir, self.iteration)
+        # async saves overlap the disk write with the next iteration;
+        # multi-process runs stay synchronous so the barrier below still
+        # guarantees every process a finalized checkpoint on return
+        use_async = (self.config.training.async_checkpointing
+                     and not mh.is_multiprocess())
         if self.is_primary:
             path = ckpt_lib.save_checkpoint(
                 self.config.training.checkpoint_dir, self.iteration, tree,
-                primary_only=True)
-            self.logger.info("checkpoint saved: %s", path)
+                primary_only=True, async_save=use_async)
+            self.logger.info("checkpoint %s: %s",
+                             "save scheduled (async)" if use_async
+                             else "saved", path)
             if self.config.logging.save_best_only:
                 # keep only the latest full checkpoint + the best-model
                 # weights (LoggingConfig.save_best_only semantics — see
-                # checkpoint.prune_checkpoints)
+                # checkpoint.prune_checkpoints). An in-flight async save is
+                # invisible here (orbax finalizes the it_NNNNNN name last),
+                # so this keeps the previous finalized checkpoint until the
+                # new one is durable — there is always >=1 complete
+                # checkpoint on disk; train() prunes once more after the
+                # final wait.
                 for old in ckpt_lib.prune_checkpoints(
                         self.config.training.checkpoint_dir, keep_latest=1):
                     self.logger.info("pruned old checkpoint: %s", old)
@@ -380,8 +392,11 @@ class AlphaZeroPipeline:
                                                  self.best_variables)
                              if mh.is_multiprocess() else
                              self.best_variables)
-                ckpt_lib.save_best(self.config.training.checkpoint_dir,
-                                   best_host, primary_only=True)
+                ckpt_lib.save_best(
+                    self.config.training.checkpoint_dir, best_host,
+                    primary_only=True,
+                    async_save=(self.config.training.async_checkpointing
+                                and not mh.is_multiprocess()))
             self.logger.info("model promoted to best (elo %.1f > %.1f)",
                              current_elo, best_board_elo)
         return {"eval/elo": current_elo, "eval/best_elo": self.best_elo,
@@ -458,6 +473,15 @@ class AlphaZeroPipeline:
             self.logger.warning("interrupted — saving checkpoint")
             self.save_checkpoint()
             raise
+        finally:
+            # finalize any in-flight async save, then prune the now-stale
+            # previous checkpoint the in-loop prune had to keep
+            ckpt_lib.wait_for_saves()
+            if (self.is_primary and self.config.logging.save_checkpoints
+                    and self.config.logging.save_best_only):
+                for old in ckpt_lib.prune_checkpoints(
+                        self.config.training.checkpoint_dir, keep_latest=1):
+                    self.logger.info("pruned old checkpoint: %s", old)
 
 
 def train_from_config(config: Config, run_name: str = "run",
