@@ -177,6 +177,17 @@ class TrainingConfig:
     # saves so the post-save barrier still hands every process a finalized
     # checkpoint (pipeline.save_checkpoint).
     async_checkpointing: bool = True
+    # Checkpoint the replay buffer every K-th save only; in-between saves
+    # reuse the most recent host snapshot of it. The buffer dominates the
+    # checkpoint's device->host fetch (~92 of ~95 MB at the flagship 200k
+    # capacity — PERF.md r3 "checkpoint critical path"), so K>1 removes most
+    # of the per-save fetch cost at the price of a documented staleness: a
+    # resume from an in-between checkpoint gets params/optimizer at
+    # iteration N with replay contents from the last due save (< K
+    # iterations older; it refills within an iteration or two of resuming).
+    # Interrupt saves always refresh. 1 = every save carries the live
+    # buffer (exact resume, the default).
+    replay_checkpoint_interval: int = 1
 
 
 @dataclass

@@ -136,6 +136,9 @@ class AlphaZeroPipeline:
         self.iteration = 0
         self.best_elo = float(config.tournament.elo_initial)
         self.metrics_history: list = []
+        # last host snapshot of the replay buffer (see save_checkpoint /
+        # TrainingConfig.replay_checkpoint_interval)
+        self._replay_host = None
         # non-primary processes log nothing and write nothing (file_output
         # gates the run dir, training.log, TB, config/model-graph snapshots)
         self.logger = logger or setup_logger(
@@ -169,12 +172,25 @@ class AlphaZeroPipeline:
             "rng": self.key,
         }
 
-    def save_checkpoint(self) -> str:
+    def save_checkpoint(self, fresh_replay: bool = False) -> str:
         tree = self._checkpoint_tree()
         if mh.is_multiprocess():
             # replicated state -> host numpy on every process (cheap: the
             # all-gather is a no-op for replicated leaves), then ONE writer
             tree = mh.fetch_replicated(self.mesh, tree)
+        else:
+            # the replay buffer dominates the checkpoint fetch (~92 of
+            # ~95 MB at flagship capacity); with
+            # replay_checkpoint_interval K > 1 only every K-th save fetches
+            # it fresh — the others reuse the last host snapshot
+            # (TrainingConfig.replay_checkpoint_interval semantics)
+            interval = max(1, self.config.training.replay_checkpoint_interval)
+            if interval > 1:
+                due = (fresh_replay or self._replay_host is None
+                       or self.iteration % interval == 0)
+                if due:
+                    self._replay_host = jax.device_get(self.buffer)
+                tree["replay"] = self._replay_host
         path = ckpt_lib.checkpoint_path(
             self.config.training.checkpoint_dir, self.iteration)
         # async saves overlap the disk write with the next iteration;
@@ -233,6 +249,7 @@ class AlphaZeroPipeline:
         self.learner.state = state
         self.best_variables = best_variables
         self.buffer = buffer
+        self._replay_host = None  # pre-restore snapshot is no longer valid
         self.iteration = int(restored["iteration"])
         self.best_elo = float(restored["best_elo"])
         self.key = restored["rng"]
@@ -466,12 +483,16 @@ class AlphaZeroPipeline:
                 if (self.config.logging.save_checkpoints
                         and self.iteration
                         % self.config.training.save_interval == 0):
-                    self.save_checkpoint()
+                    # the run's final checkpoint always carries the live
+                    # buffer, whatever replay_checkpoint_interval says
+                    self.save_checkpoint(fresh_replay=self.iteration >= total)
                     self._log_replay_embedding(it)
         except KeyboardInterrupt:
-            # save-on-interrupt (pipeline.py:146-147, run.py:84-89)
+            # save-on-interrupt (pipeline.py:146-147, run.py:84-89);
+            # fresh_replay: an interrupt save must carry the live buffer
+            # even mid replay_checkpoint_interval
             self.logger.warning("interrupted — saving checkpoint")
-            self.save_checkpoint()
+            self.save_checkpoint(fresh_replay=True)
             raise
         finally:
             # finalize any in-flight async save, then prune the now-stale

@@ -79,3 +79,42 @@ def test_sync_checkpointing_config_still_works(tmp_path):
     fresh = AlphaZeroPipeline(cfg, run_name="sync2")
     assert fresh.load_checkpoint()
     assert fresh.iteration == 1
+
+
+def test_replay_checkpoint_interval(tmp_path):
+    """TrainingConfig.replay_checkpoint_interval=K: only every K-th save
+    fetches the replay buffer; in-between checkpoints carry the previous
+    snapshot (identical replay leaves), and the run's FINAL checkpoint
+    always carries the live buffer."""
+    from tests.test_pipeline import tiny_config
+    from alphazero_reversi_tpu.pipeline import AlphaZeroPipeline
+
+    cfg = tiny_config(tmp_path)
+    cfg.training.num_epochs = 3
+    cfg.training.replay_checkpoint_interval = 3
+    cfg.logging.save_best_only = False  # keep it_1/it_2/it_3 on disk
+    pipe = AlphaZeroPipeline(cfg, run_name="rint")
+    pipe.train()
+    ckpt_lib.wait_for_saves()
+
+    template = pipe._checkpoint_tree()
+    r1 = ckpt_lib.restore_checkpoint(
+        ckpt_lib.checkpoint_path(cfg.training.checkpoint_dir, 1), template)
+    r2 = ckpt_lib.restore_checkpoint(
+        ckpt_lib.checkpoint_path(cfg.training.checkpoint_dir, 2), template)
+    r3 = ckpt_lib.restore_checkpoint(
+        ckpt_lib.checkpoint_path(cfg.training.checkpoint_dir, 3), template)
+
+    # it_2 was not due (2 % 3 != 0): its replay leaves are byte-identical
+    # to it_1's snapshot even though an iteration of games was inserted
+    for a, b in zip(jax.tree_util.tree_leaves(r1["replay"]),
+                    jax.tree_util.tree_leaves(r2["replay"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # ...while the rest of the state advanced
+    assert int(r2["iteration"]) == 2 and int(r1["iteration"]) == 1
+
+    # the final save (iteration == num_epochs) is always fresh: its replay
+    # cursor reflects three iterations of inserts, not the it_1 snapshot
+    s1 = np.asarray(jax.tree_util.tree_leaves(r1["replay"])[-2])  # cursor
+    s3 = np.asarray(jax.tree_util.tree_leaves(r3["replay"])[-2])
+    assert int(s3) != int(s1)
