@@ -57,10 +57,21 @@ def main():
     net = resnet.build_network(ModelConfig())
     template = resnet.init_variables(net, jax.random.PRNGKey(0))
     ext300 = ckpt_lib.restore_best(ext_dir, template)
-    it168 = ckpt_lib.restore_best(
-        os.path.join(HERE, "flagship_run", "snap_it168"), template)
+    # snap_it168 is the FULL it_000168 checkpoint tree (not a best_model
+    # dir): restore it and take its best_variables leaf
+    from alphazero_reversi_tpu.config import Config
+    from alphazero_reversi_tpu.pipeline import make_checkpoint_template
+    cfg168 = Config.load(
+        os.path.join(HERE, "flagship_run", "resume5_config.json"))
+    tree168 = ckpt_lib.restore_checkpoint(
+        os.path.join(HERE, "flagship_run", "snap_it168"),
+        make_checkpoint_template(cfg168))
+    it168 = tree168["best_variables"]
     it47 = ckpt_lib.restore_best(
         os.path.join(HERE, "flagship_run", "snap_it47"), template)
+    for name, arm in [("ext300", ext300), ("it168", it168), ("it47", it47)]:
+        if arm is None:  # a None arm silently becomes random-init weights
+            raise SystemExit(f"arm {name} failed to load")
 
     results = {"protocol": {
         "games_per_pairing": GAMES, "sims": SIMS, "temperature": TEMP,
@@ -68,7 +79,9 @@ def main():
                     "split half/half",
         "ext300_ckpt": ext_dir,
         "ext300_config": "refbench/flagship_run/resume6_config.json "
-                         "(resume it168 -> it300, lr 1e-5)",
+                         "(resume it168 -> it300, lr 1e-5; the run's final "
+                         "device fetch hung on the relay so the endpoint "
+                         "is the it-299 best_model promotion, elo 1337)",
         "it168_ckpt": "refbench/flagship_run/snap_it168 (resume5 endpoint, "
                       "the strongest pre-extension snapshot)"}}
 
