@@ -281,25 +281,35 @@ class Arena:
         rounds = rounds if rounds is not None else self.config.rounds
         n = len(self.players)
         if getattr(self.config, "batch_rounds", False):
-            # all rounds of a pairing in ONE batched device call: identical
-            # game count and per-game ELO updates; colors split exactly
-            # half/half by play_pair instead of alternating the first mover
-            # by round (TournamentConfig.batch_rounds) — ~rounds-x fewer
-            # dispatches, which dominates small evals through the relay
+            # all rounds of a pairing in ONE batched device call —
+            # ~rounds-x fewer dispatches, which dominates small evals
+            # through the relay. Game count per pairing is EXACTLY
+            # rounds * games_per_pair (play_pair needs an even batch, so
+            # an odd total plays one filler game whose score is
+            # discarded), and the per-game ELO updates are replayed in
+            # the SAME round-interleaved (round, pairing, game) order as
+            # the non-batched path below — ELO updates are
+            # path-dependent, so ordering must match for the two modes
+            # to agree. The one remaining difference is the documented
+            # color split: exactly half/half per pairing instead of
+            # alternating the first mover by round.
+            per_pair: Dict[Tuple[int, int], List[float]] = {}
+            total = rounds * self.config.games_per_pair
             for i in range(n):
                 for j in range(i + 1, n):
-                    total = rounds * self.config.games_per_pair
-                    total += total % 2  # play_pair needs an even batch
                     if total == 0:
                         continue
                     key, match_key = jax.random.split(key)
                     scores = self.play_games(self.players[i],
                                              self.players[j], match_key,
-                                             total)
-                    for s in scores:
+                                             total + total % 2)
+                    per_pair[(i, j)] = [float(s) for s in scores[:total]]
+            g = self.config.games_per_pair
+            for round_num in range(rounds):
+                for (i, j), scores in per_pair.items():
+                    for s in scores[round_num * g:(round_num + 1) * g]:
                         self.elo.update_ratings(self.players[i].name,
-                                                self.players[j].name,
-                                                float(s))
+                                                self.players[j].name, s)
             return self.elo.get_leaderboard()
         for round_num in range(rounds):
             for i in range(n):

@@ -183,8 +183,9 @@ class TrainingConfig:
     # capacity — PERF.md r3 "checkpoint critical path"), so K>1 removes most
     # of the per-save fetch cost at the price of a documented staleness: a
     # resume from an in-between checkpoint gets params/optimizer at
-    # iteration N with replay contents from the last due save (< K
-    # iterations older; it refills within an iteration or two of resuming).
+    # iteration N with replay contents from the last due save (< K SAVES
+    # older, i.e. < K * save_interval iterations; it refills within an
+    # iteration or two of resuming).
     # Interrupt saves always refresh. 1 = every save carries the live
     # buffer (exact resume, the default).
     replay_checkpoint_interval: int = 1
@@ -209,9 +210,12 @@ class TournamentConfig:
     # False = reference semantics: every round dispatches each pairing
     # separately with the first mover alternating by (i+j+round)%2
     # (arena.py:339-341). True = all rounds of a pairing play as ONE
-    # batched device call with an exact half/half color split — identical
-    # game count and per-game ELO updates, ~rounds-x fewer dispatches (the
-    # per-dispatch relay latency dominates small evals; PERF.md).
+    # batched device call — identical game count, with per-game ELO
+    # updates replayed in the same round-interleaved order as the
+    # non-batched path; ~rounds-x fewer dispatches (the per-dispatch
+    # relay latency dominates small evals; PERF.md). The only semantic
+    # difference is the color assignment: an exact half/half split per
+    # pairing instead of alternating the first mover by round.
     batch_rounds: bool = False
     temperature: float = 0.1
     output_dir: str = "tournament_results"

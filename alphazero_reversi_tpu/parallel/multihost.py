@@ -77,27 +77,28 @@ def local_block(arr: jax.Array, axis: int) -> np.ndarray:
     process's shards are contiguous along the sharded axis; asserted here
     rather than assumed.
     """
-    shards = sorted(arr.addressable_shards,
-                    key=lambda s: s.index[axis].start or 0)
-    blocks = [np.asarray(s.data) for s in shards]
-    starts = [s.index[axis].start or 0 for s in shards]
-    stops = [s.index[axis].stop if s.index[axis].stop is not None
-             else arr.shape[axis] for s in shards]
-    for i in range(1, len(shards)):
-        if starts[i] != stops[i - 1]:
-            raise ValueError(
-                f"process-local shards not contiguous along axis {axis}: "
-                f"{list(zip(starts, stops))}")
-    # drop duplicate replicas of the same slice (axis replicated on the
-    # model dimension): identical indices appear once per replica
-    out = []
+    # drop duplicate replicas of the same slice FIRST (axis replicated on a
+    # model dimension yields identical indices once per replica) — dedup
+    # must precede the contiguity check, and skipping np.asarray on
+    # replicas avoids fetching the same bytes twice
+    entries = []
     seen = set()
-    for st, sp, b in zip(starts, stops, blocks):
+    for s in sorted(arr.addressable_shards,
+                    key=lambda s: s.index[axis].start or 0):
+        st = s.index[axis].start or 0
+        sp = (s.index[axis].stop if s.index[axis].stop is not None
+              else arr.shape[axis])
         if (st, sp) in seen:
             continue
         seen.add((st, sp))
-        out.append(b)
-    return np.concatenate(out, axis=axis) if len(out) > 1 else out[0]
+        entries.append((st, sp, np.asarray(s.data)))
+    for i in range(1, len(entries)):
+        if entries[i][0] != entries[i - 1][1]:
+            raise ValueError(
+                f"process-local shards not contiguous along axis {axis}: "
+                f"{[(st, sp) for st, sp, _ in entries]}")
+    blocks = [b for _, _, b in entries]
+    return np.concatenate(blocks, axis=axis) if len(blocks) > 1 else blocks[0]
 
 
 def from_local_block(mesh: Mesh, local: np.ndarray, axis: int) -> jax.Array:

@@ -136,9 +136,12 @@ class AlphaZeroPipeline:
         self.iteration = 0
         self.best_elo = float(config.tournament.elo_initial)
         self.metrics_history: list = []
-        # last host snapshot of the replay buffer (see save_checkpoint /
-        # TrainingConfig.replay_checkpoint_interval)
+        # last host snapshot of the replay buffer + save counter (see
+        # save_checkpoint / TrainingConfig.replay_checkpoint_interval:
+        # freshness is keyed to SAVES, not iterations, so the "every K-th
+        # save" contract holds for any save_interval)
         self._replay_host = None
+        self._saves_done = 0
         # non-primary processes log nothing and write nothing (file_output
         # gates the run dir, training.log, TB, config/model-graph snapshots)
         self.logger = logger or setup_logger(
@@ -186,11 +189,14 @@ class AlphaZeroPipeline:
             # (TrainingConfig.replay_checkpoint_interval semantics)
             interval = max(1, self.config.training.replay_checkpoint_interval)
             if interval > 1:
+                # keyed to the save COUNT (not the iteration number) so
+                # "every K-th save" holds whatever save_interval is
                 due = (fresh_replay or self._replay_host is None
-                       or self.iteration % interval == 0)
+                       or self._saves_done % interval == 0)
                 if due:
                     self._replay_host = jax.device_get(self.buffer)
                 tree["replay"] = self._replay_host
+        self._saves_done += 1
         path = ckpt_lib.checkpoint_path(
             self.config.training.checkpoint_dir, self.iteration)
         # async saves overlap the disk write with the next iteration;
@@ -250,6 +256,7 @@ class AlphaZeroPipeline:
         self.best_variables = best_variables
         self.buffer = buffer
         self._replay_host = None  # pre-restore snapshot is no longer valid
+        self._saves_done = 0  # restart the every-K-th-save cadence
         self.iteration = int(restored["iteration"])
         self.best_elo = float(restored["best_elo"])
         self.key = restored["rng"]
@@ -305,7 +312,13 @@ class AlphaZeroPipeline:
                             traj, sp_cfg.exact_value_empties,
                             compat=self.config.env_compat, budget_s=budget)
                 for k, v in rstats.items():
-                    relabel_stats[k] = relabel_stats.get(k, 0) + v
+                    # sum counts across self-play batches, but keep max
+                    # semantics for extremum fields (matches
+                    # multihost.aggregate_stats's cross-process rule)
+                    if k == "max_empties_solved":
+                        relabel_stats[k] = max(relabel_stats.get(k, 0), v)
+                    else:
+                        relabel_stats[k] = relabel_stats.get(k, 0) + v
                 if rstats["skipped"]:
                     self.logger.warning(
                         "exact-value relabel budget (%.0fs) hit: %d/%d "

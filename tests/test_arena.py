@@ -164,6 +164,55 @@ def test_save_results(net_and_vars, tmp_path):
     assert set(loaded.ratings) == {"r1", "r2"}
 
 
+def test_batch_rounds_exact_count_and_elo_order(net_and_vars, monkeypatch):
+    """batch_rounds must (a) play EXACTLY rounds*games_per_pair games per
+    pairing even when that product is odd (the even-batch filler game's
+    score is discarded), and (b) apply per-game ELO updates in the same
+    round-interleaved order as the non-batched path — ELO updates are
+    path-dependent, so with 3+ players a different order changes the
+    leaderboard. Verified by stubbing play_games with deterministic
+    per-(pair, game-index) scores so both modes see identical results."""
+    net, variables = net_and_vars
+
+    def fake_scores(pair_key, k):
+        return ((hash(pair_key) % 5) + 3 * k) % 3 / 2.0
+
+    def make_fake(counter):
+        def fake_play_games(self, a, b, key, num_games):
+            names = tuple(sorted((a.name, b.name)))
+            start = counter.get(names, 0)
+            counter[names] = start + num_games
+            s = np.asarray([fake_scores(names, start + k)
+                            for k in range(num_games)])
+            return s if a.name == names[0] else 1.0 - s
+        return fake_play_games
+
+    def run(batch: bool):
+        counter: dict = {}
+        monkeypatch.setattr(arena_lib.Arena, "play_games",
+                            make_fake(counter))
+        cfg = TournamentConfig(rounds=3, num_simulations=2,
+                               games_per_pair=1, batch_rounds=batch)
+        ar = arena_lib.Arena(net, cfg)
+        for name in ("p0", "p1", "p2"):
+            ar.add_player(name, variables)
+        board = ar.run_tournament(jax.random.PRNGKey(5))
+        return board, counter
+
+    board_b, counter_b = run(True)
+    board_s, counter_s = run(False)
+    # rounds*games_per_pair = 3 (odd): each pairing plays exactly 3
+    # counted games in both modes (the batched mode's filler game is
+    # requested but its score discarded)
+    assert all(p["games_played"] == 6 for p in board_b)  # 2 pairings each
+    assert all(p["games_played"] == 6 for p in board_s)
+    # identical per-game results + identical update order => identical
+    # final ratings, not merely close ones
+    ratings_b = {p["player_id"]: p["rating"] for p in board_b}
+    ratings_s = {p["player_id"]: p["rating"] for p in board_s}
+    assert ratings_b == pytest.approx(ratings_s)
+
+
 def test_batch_rounds_tournament(net_and_vars):
     """TournamentConfig.batch_rounds: all rounds of a pairing in one
     batched call — same total game count and per-game ELO updates, fewer

@@ -31,6 +31,23 @@ def test_local_block_roundtrip_axis1():
     np.testing.assert_array_equal(np.asarray(back), np.asarray(x) * 2)
 
 
+def test_local_block_with_model_axis_replicas():
+    """A model_axis > 1 mesh replicates each data-axis slice once per
+    model-axis device, so addressable_shards carry duplicate indices —
+    local_block must dedup them BEFORE its contiguity check (a regression
+    here raised 'shards not contiguous' on any model-parallel mesh)."""
+    n = len(jax.devices())
+    if n % 2:
+        return  # needs an even device count for a data x model=2 mesh
+    mesh = mesh_lib.make_mesh(MeshConfig(data_axis=n // 2, model_axis=2))
+    d = mesh.shape[mesh_lib.DATA_AXIS]
+    x = jnp.arange(3 * 2 * d * 2, dtype=jnp.float32).reshape(3, 2 * d, 2)
+    sharded = mh.canonical_tb_sharding(mesh, x)
+    assert len(sharded.addressable_shards) == n  # replicas present
+    block = mh.local_block(sharded, 1)
+    np.testing.assert_array_equal(block, np.asarray(x))
+
+
 def test_fetch_replicated_mixes_shardings():
     mesh = _mesh()
     d = mesh.shape[mesh_lib.DATA_AXIS]
