@@ -103,7 +103,7 @@ def _make_side_probs(net, *, num_simulations: int, c_puct: float,
                      "pass_slack", "return_final", "num_simulations_b",
                      "leaf_batch", "leaf_batch_b", "algorithm",
                      "algorithm_b", "max_considered_actions", "c_visit",
-                     "c_scale"),
+                     "c_scale", "black_games"),
 )
 def play_pair(net, vars_a, vars_b, key: jax.Array, *, num_games: int,
               num_simulations: int, c_puct: float, temperature: float,
@@ -114,7 +114,8 @@ def play_pair(net, vars_a, vars_b, key: jax.Array, *, num_games: int,
               leaf_batch_b: Optional[int] = None, algorithm: str = "puct",
               algorithm_b: Optional[str] = None,
               max_considered_actions: int = 16, c_visit: float = 50.0,
-              c_scale: float = 0.1) -> jax.Array:
+              c_scale: float = 0.1,
+              black_games: Optional[int] = None) -> jax.Array:
     """Play ``num_games`` games of A vs B, searching only for the mover.
 
     A plays BLACK in the first ``num_games // 2`` games and WHITE in the rest
@@ -136,10 +137,24 @@ def play_pair(net, vars_a, vars_b, key: jax.Array, *, num_games: int,
 
     Returns ``score_a`` per game: 1.0 win / 0.5 draw / 0.0 loss
     (arena.py:264-270 scoring).
+
+    ``black_games`` overrides the half/half color split: A plays BLACK in
+    the first ``black_games`` games and WHITE in the rest (0 and
+    ``num_games`` give single-color batches). Used by the sharded
+    multi-process tournament, whose work units are (pairing, color-half)
+    slices (``Arena.run_tournament_sharded``). Default None keeps the even
+    half/half split.
     """
-    if num_games % 2 != 0:
-        raise ValueError(f"num_games={num_games} must be even (color split)")
-    half = num_games // 2
+    if black_games is None:
+        if num_games % 2 != 0:
+            raise ValueError(
+                f"num_games={num_games} must be even (color split)")
+        half = num_games // 2
+    else:
+        if not 0 <= black_games <= num_games:
+            raise ValueError(
+                f"black_games={black_games} outside [0, {num_games}]")
+        half = black_games
     a_color = jnp.where(jnp.arange(num_games) < half, env.BLACK,
                         env.WHITE).astype(jnp.int32)
     states = env.initial_state((num_games,))
@@ -169,15 +184,18 @@ def play_pair(net, vars_a, vars_b, key: jax.Array, *, num_games: int,
         search per player, moves applied only where the game's actual mover
         matches the schedule."""
         k0, k1, ks = jax.random.split(step_key, 3)
-        s0 = jax.tree_util.tree_map(lambda x: x[:half], states)
-        s1 = jax.tree_util.tree_map(lambda x: x[half:], states)
-        if sched_color == env.BLACK:  # A owns BLACK in half 0
-            p0 = probs_a_fn(s0, k0, vars_a, a_random)
-            p1 = probs_b_fn(s1, k1, vars_b, b_random)
-        else:
-            p0 = probs_b_fn(s0, k0, vars_b, b_random)
-            p1 = probs_a_fn(s1, k1, vars_a, a_random)
-        probs = jnp.concatenate([p0, p1], axis=0)
+        parts = []
+        if half > 0:  # static: single-color units skip the empty half
+            s0 = jax.tree_util.tree_map(lambda x: x[:half], states)
+            parts.append(probs_a_fn(s0, k0, vars_a, a_random)
+                         if sched_color == env.BLACK  # A owns BLACK in half 0
+                         else probs_b_fn(s0, k0, vars_b, b_random))
+        if half < num_games:
+            s1 = jax.tree_util.tree_map(lambda x: x[half:], states)
+            parts.append(probs_b_fn(s1, k1, vars_b, b_random)
+                         if sched_color == env.BLACK
+                         else probs_a_fn(s1, k1, vars_a, a_random))
+        probs = jnp.concatenate(parts, axis=0)
         actions = search_lib.sample_actions(ks, probs)
         move_ok = (states.to_move == sched_color) & ~states.done
         new_states, _ = env.step(states, actions, compat=compat)
@@ -255,7 +273,8 @@ class Arena:
         self.elo.add_player(name, rating)
 
     def play_games(self, a: Player, b: Player, key: jax.Array,
-                   num_games: int) -> np.ndarray:
+                   num_games: int,
+                   black_games: Optional[int] = None) -> np.ndarray:
         """Batched A-vs-B match; returns per-game scores for A."""
         cfg = self.config
         scores = play_pair(
@@ -270,7 +289,8 @@ class Arena:
             algorithm=cfg.algorithm,
             max_considered_actions=cfg.max_considered_actions,
             c_visit=cfg.c_visit,
-            c_scale=cfg.c_scale)
+            c_scale=cfg.c_scale,
+            black_games=black_games)
         return np.asarray(scores)
 
     def run_tournament(self, key: jax.Array,
@@ -304,12 +324,7 @@ class Arena:
                                              self.players[j], match_key,
                                              total + total % 2)
                     per_pair[(i, j)] = [float(s) for s in scores[:total]]
-            g = self.config.games_per_pair
-            for round_num in range(rounds):
-                for (i, j), scores in per_pair.items():
-                    for s in scores[round_num * g:(round_num + 1) * g]:
-                        self.elo.update_ratings(self.players[i].name,
-                                                self.players[j].name, s)
+            self._replay_elo(per_pair, rounds)
             return self.elo.get_leaderboard()
         for round_num in range(rounds):
             for i in range(n):
@@ -324,6 +339,85 @@ class Arena:
                     for s in scores:
                         self.elo.update_ratings(first.name, second.name,
                                                 float(s))
+        return self.elo.get_leaderboard()
+
+    def _replay_elo(self, per_pair: Dict[Tuple[int, int], List[float]],
+                    rounds: int) -> None:
+        """Apply per-game ELO updates in the canonical round-interleaved
+        (round, pairing, game) order — ELO updates are path-dependent, so
+        every consumer of batched scores must replay them identically
+        (shared by ``batch_rounds`` and the sharded tournament)."""
+        g = self.config.games_per_pair
+        for round_num in range(rounds):
+            for (i, j), scores in per_pair.items():
+                for s in scores[round_num * g:(round_num + 1) * g]:
+                    self.elo.update_ratings(self.players[i].name,
+                                            self.players[j].name, s)
+
+    def _tournament_units(self, key: jax.Array, rounds: int):
+        """Canonical (pairing, color-half) work units of a batched
+        tournament: two single-color batches per pairing, with keys derived
+        by the same canonical splits on every process. The unit list —
+        order, game counts, keys — is a pure function of (players, config,
+        key), NEVER of the shard layout, so any shard_count produces the
+        same global game set."""
+        n = len(self.players)
+        total = rounds * self.config.games_per_pair
+        units = []
+        for i in range(n):
+            for j in range(i + 1, n):
+                key, match_key = jax.random.split(key)
+                nb = (total + 1) // 2  # A-black half (odd totals favor black
+                nw = total // 2        # like the unsplit batch's kept games)
+                if nb:
+                    units.append((i, j, nb, nb,
+                                  jax.random.fold_in(match_key, 0)))
+                if nw:
+                    units.append((i, j, nw, 0,
+                                  jax.random.fold_in(match_key, 1)))
+        return units
+
+    def run_tournament_sharded(self, key: jax.Array, shard_index: int = 0,
+                               shard_count: int = 1, gather=None,
+                               rounds: Optional[int] = None) -> List[Dict]:
+        """Tournament with the work SHARDED over processes (VERDICT r3
+        item 3): this shard plays only the (pairing, color-half) units with
+        ``unit_index % shard_count == shard_index``; ``gather`` merges the
+        per-unit score rows across shards (``parallel.multihost.
+        gather_unit_scores`` — an allgather picking each unit's owner row);
+        then EVERY shard replays the per-game ELO updates in the canonical
+        order, so all leaderboards agree bit-exactly. At P processes the
+        eval phase does ~1/P of the search work per process instead of
+        duplicating the full arena everywhere.
+
+        ``shard_count=1`` (and gather=None) is the single-process form —
+        same decomposition, no communication. Game counts per pairing match
+        ``run_tournament``'s ``batch_rounds`` path exactly; the units being
+        single-color batches (``play_pair black_games``) rather than one
+        half/half batch is the same documented color-split divergence.
+        """
+        rounds = rounds if rounds is not None else self.config.rounds
+        units = self._tournament_units(key, rounds)
+        self.units_played: List[int] = []
+        if not units:
+            return self.elo.get_leaderboard()
+        max_g = max(u[2] for u in units)
+        scores = np.zeros((len(units), max_g), np.float32)
+        for u_idx, (i, j, ng, bg, ukey) in enumerate(units):
+            if u_idx % shard_count != shard_index:
+                continue
+            self.units_played.append(u_idx)
+            s = self.play_games(self.players[i], self.players[j], ukey, ng,
+                                black_games=bg)
+            scores[u_idx, :ng] = s
+        if gather is not None:
+            owners = np.arange(len(units)) % shard_count
+            scores = gather(scores, owners)
+        per_pair: Dict[Tuple[int, int], List[float]] = {}
+        for u_idx, (i, j, ng, bg, _) in enumerate(units):
+            per_pair.setdefault((i, j), []).extend(
+                float(x) for x in scores[u_idx, :ng])
+        self._replay_elo(per_pair, rounds)
         return self.elo.get_leaderboard()
 
     def save_results(self, filepath: str) -> None:

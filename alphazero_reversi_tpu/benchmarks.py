@@ -404,7 +404,11 @@ def bench_scaling(device_counts: Optional[List[int]] = None,
             f"efficiency is bounded by core oversubscription (the 1-device "
             f"baseline already uses every core via XLA:CPU intra-op "
             f"threading), NOT by sharding overhead — this run validates "
-            f"the sharded programs; true ICI efficiency needs pod hardware")
+            f"the sharded programs only. For scaling EVIDENCE use the "
+            f"fixed-resource protocols in refbench/scaling_fixed_work.py "
+            f"(--mp: N gloo processes x 1 pinned core each reads 99% "
+            f"self-play efficiency at N=4) plus the HLO zero-collectives "
+            f"test; true ICI efficiency needs pod hardware")
     return out
 
 

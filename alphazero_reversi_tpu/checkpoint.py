@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 import orbax.checkpoint as ocp
 
+from . import hostfetch
+
 _STEP_RE = re.compile(r"^it_(\d+)$")
 
 # Long-lived checkpointers, keyed by the primary-only flag. Orbax's
@@ -56,16 +58,19 @@ def _checkpointer(primary_only: bool = False) -> ocp.StandardCheckpointer:
     return _LIVE[key]
 
 
-def _to_host(tree: Any) -> Any:
+def _to_host(tree: Any, fetch_timeout_s: Optional[float] = None) -> Any:
     """Fetch every device leaf to host numpy in ONE parallel transfer burst.
 
     Single-process only (multi-process callers pre-fetch replicated state via
     ``parallel.multihost.fetch_replicated``); host leaves pass through
     unchanged, so the call is free when the tree is already on host.
+    ``fetch_timeout_s`` arms the relay-hang watchdog
+    (:mod:`alphazero_reversi_tpu.hostfetch`).
     """
     if jax.process_count() > 1:
         return tree
-    return jax.device_get(tree)
+    return hostfetch.device_get(tree, fetch_timeout_s,
+                                what="checkpoint host fetch")
 
 
 def wait_for_saves() -> None:
@@ -99,7 +104,8 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
 
 def save_checkpoint(ckpt_dir: str, iteration: int, tree: Dict[str, Any],
                     primary_only: bool = False,
-                    async_save: bool = False) -> str:
+                    async_save: bool = False,
+                    fetch_timeout_s: Optional[float] = None) -> str:
     """Atomically write ``tree`` as ``<ckpt_dir>/it_<iteration>``.
 
     ``tree`` is any pytree of arrays/scalars (the pipeline passes
@@ -117,7 +123,7 @@ def save_checkpoint(ckpt_dir: str, iteration: int, tree: Dict[str, Any],
     path = checkpoint_path(ckpt_dir, iteration)
     ckptr = _checkpointer(primary_only=primary_only)
     ckptr.wait_until_finished()
-    ckptr.save(path, _to_host(tree), force=True)
+    ckptr.save(path, _to_host(tree, fetch_timeout_s), force=True)
     if not async_save:
         ckptr.wait_until_finished()
     return path
@@ -160,13 +166,14 @@ def restore_checkpoint(path: str, template: Dict[str, Any]) -> Dict[str, Any]:
 
 def save_best(ckpt_dir: str, variables: Dict[str, Any],
               primary_only: bool = False,
-              async_save: bool = False) -> str:
+              async_save: bool = False,
+              fetch_timeout_s: Optional[float] = None) -> str:
     """Weights-only best model (``best_model.pth`` analog,
     pipeline.py:483-486). ``async_save`` as in :func:`save_checkpoint`."""
     path = os.path.join(os.path.abspath(ckpt_dir), "best_model")
     ckptr = _checkpointer(primary_only=primary_only)
     ckptr.wait_until_finished()
-    ckptr.save(path, _to_host(variables), force=True)
+    ckptr.save(path, _to_host(variables, fetch_timeout_s), force=True)
     if not async_save:
         ckptr.wait_until_finished()
     return path

@@ -161,8 +161,10 @@ class TrainingConfig:
     # the program, so K steps pay one host round-trip instead of K. >1
     # amortizes per-dispatch latency (the dominant flagship iteration cost
     # through the TPU relay, PERF.md); 1 = one dispatch per step. The
-    # per-iteration step budget rounds UP to whole chunks. Single-device
-    # path only (the DP trainer dispatches per step).
+    # per-iteration step budget rounds UP to whole chunks. Works on both the
+    # single-device learner (learner.train_steps) and multi-device meshes
+    # (parallel.dp.make_dp_train_steps: a shard_map'd scan with pmean'd
+    # grads/BN stats, sampling-equivalent to the per-step DP path).
     steps_per_dispatch: int = 1
     # Random dihedral-8 augmentation of sampled positions (symmetry.py, the
     # living replacement for the reference's dead symmetry-hash machinery,
@@ -189,6 +191,14 @@ class TrainingConfig:
     # Interrupt saves always refresh. 1 = every save carries the live
     # buffer (exact resume, the default).
     replay_checkpoint_interval: int = 1
+    # Relay-hang watchdog (hostfetch.py): abort any critical device->host
+    # fetch (checkpoint state, replay snapshot, relabel/trajectory fetches)
+    # that exceeds this many wall-clock seconds with a clean
+    # FetchTimeoutError instead of hanging forever — one indefinite
+    # device_get hang was observed in production at flagship iteration 300
+    # (PERF.md r3). 0 disables (the default; flagship configs set ~120 s,
+    # comfortably above the measured ~3 s flagship checkpoint fetch).
+    fetch_timeout_s: float = 0.0
 
 
 @dataclass

@@ -40,6 +40,7 @@ import jax.numpy as jnp
 from ..config import MCTSConfig
 from ..env import bitboard as env
 from ..models import resnet
+from ..ops import random as rand_ops
 from . import tree as tree_lib
 
 NUM_ACTIONS = env.NUM_ACTIONS
@@ -74,10 +75,13 @@ def add_dirichlet_noise(prior: jax.Array, legal: jax.Array, key: jax.Array,
                         alpha: float, epsilon: float) -> jax.Array:
     """Mix root prior with Dirichlet noise over the legal actions
     (AlphaZero standard; declared-but-unused in the reference,
-    src/config.py:25-26)."""
-    gamma = jax.random.gamma(key, alpha, prior.shape).astype(prior.dtype)
-    gamma = jnp.where(legal, gamma, 0.0)
-    noise = gamma / jnp.maximum(gamma.sum(-1, keepdims=True), 1e-12)
+    src/config.py:25-26).
+
+    The draw uses the collective-free fixed-trial gamma sampler
+    (``ops.random``) instead of ``jax.random.dirichlet``, whose rejection
+    while_loop would put a per-round ``all-reduce`` into every sharded
+    self-play program (the predicate reduces over the batch under GSPMD)."""
+    noise = rand_ops.dirichlet_noise(key, alpha, legal, dtype=prior.dtype)
     mixed = (1.0 - epsilon) * prior + epsilon * noise
     mixed = jnp.where(legal, mixed, 0.0)
     return mixed / jnp.maximum(mixed.sum(-1, keepdims=True), 1e-12)

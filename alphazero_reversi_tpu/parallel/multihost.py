@@ -138,24 +138,43 @@ def aggregate_stats(stats: dict) -> dict:
 
 
 def relabel_sharded(mesh: Mesh, traj, max_empties: int, compat: bool,
-                    budget_s):
+                    budget_s, fetch_timeout_s=None):
     """Multi-controller form of ``selfplay.relabel_exact_values_with_stats``:
     each process runs the native endgame solver over its OWN shard of the
     games (the solver work parallelizes across hosts; per-process wall clock
     is bounded by ``budget_s``) and the relabeled value plane is reassembled
-    into a global array. Returns ``(traj, aggregated_stats)``."""
+    into a global array. ``fetch_timeout_s`` arms the relay-hang watchdog on
+    the per-process shard fetches (hostfetch.py). Returns
+    ``(traj, aggregated_stats)``."""
+    from .. import hostfetch
     from .. import selfplay as selfplay_lib
 
     planes = canonical_tb_sharding(mesh, traj.planes)
     to_move = canonical_tb_sharding(mesh, traj.to_move)
     valid = canonical_tb_sharding(mesh, traj.valid)
     value = canonical_tb_sharding(mesh, traj.value)
+    blocks = hostfetch.guarded(
+        lambda: (local_block(planes, 1), local_block(to_move, 1),
+                 local_block(valid, 1), local_block(value, 1)),
+        fetch_timeout_s, what="relabel shard fetch")
     new_local, stats = selfplay_lib.relabel_np(
-        local_block(planes, 1), local_block(to_move, 1),
-        local_block(valid, 1), local_block(value, 1),
+        *blocks,
         max_empties=max_empties, compat=compat, budget_s=budget_s)
     new_value = from_local_block(mesh, np.ascontiguousarray(new_local), 1)
     return traj._replace(value=new_value), aggregate_stats(stats)
+
+
+def gather_unit_scores(scores: np.ndarray, owners: np.ndarray) -> np.ndarray:
+    """Merge the sharded tournament's per-unit score rows across processes
+    (``arena.Arena.run_tournament_sharded``): allgather the local ``[U, G]``
+    arrays and keep, for each unit, its OWNER process's row. No-op
+    single-process."""
+    if not is_multiprocess():
+        return scores
+    from jax.experimental import multihost_utils
+
+    gathered = np.asarray(multihost_utils.process_allgather(scores))
+    return gathered[owners, np.arange(scores.shape[0])]
 
 
 def broadcast_from_primary(value):

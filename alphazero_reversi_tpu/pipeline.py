@@ -38,6 +38,7 @@ import numpy as np
 
 from . import arena as arena_lib
 from . import checkpoint as ckpt_lib
+from . import hostfetch
 from . import learner as learner_lib
 from . import replay as replay_lib
 from . import selfplay as selfplay_lib
@@ -131,11 +132,19 @@ class AlphaZeroPipeline:
         restored_best = ckpt_lib.restore_best(
             config.training.checkpoint_dir, self.best_variables)
         if restored_best is not None:
-            self.best_variables = restored_best
+            # re-pin on the mesh: a restored tree is single-device-committed
+            # and would clash with the replicated learner state in the
+            # eval arena's jit (see load_checkpoint)
+            self.best_variables = (
+                mesh_lib.replicate(self.mesh, restored_best)
+                if self.num_devices > 1 else restored_best)
 
         self.iteration = 0
         self.best_elo = float(config.tournament.elo_initial)
         self.metrics_history: list = []
+        # unit indices this process played in the last sharded eval
+        # (multi-process only; see _evaluate_model)
+        self._last_eval_units: list = []
         # last host snapshot of the replay buffer + save counter (see
         # save_checkpoint / TrainingConfig.replay_checkpoint_interval:
         # freshness is keyed to SAVES, not iterations, so the "every K-th
@@ -177,10 +186,13 @@ class AlphaZeroPipeline:
 
     def save_checkpoint(self, fresh_replay: bool = False) -> str:
         tree = self._checkpoint_tree()
+        timeout = self.config.training.fetch_timeout_s or None
         if mh.is_multiprocess():
             # replicated state -> host numpy on every process (cheap: the
             # all-gather is a no-op for replicated leaves), then ONE writer
-            tree = mh.fetch_replicated(self.mesh, tree)
+            tree = hostfetch.guarded(
+                lambda: mh.fetch_replicated(self.mesh, tree), timeout,
+                what="replicated checkpoint fetch")
         else:
             # the replay buffer dominates the checkpoint fetch (~92 of
             # ~95 MB at flagship capacity); with
@@ -194,7 +206,8 @@ class AlphaZeroPipeline:
                 due = (fresh_replay or self._replay_host is None
                        or self._saves_done % interval == 0)
                 if due:
-                    self._replay_host = jax.device_get(self.buffer)
+                    self._replay_host = hostfetch.device_get(
+                        self.buffer, timeout, what="replay buffer fetch")
                 tree["replay"] = self._replay_host
         self._saves_done += 1
         path = ckpt_lib.checkpoint_path(
@@ -207,10 +220,12 @@ class AlphaZeroPipeline:
         if self.is_primary:
             path = ckpt_lib.save_checkpoint(
                 self.config.training.checkpoint_dir, self.iteration, tree,
-                primary_only=True, async_save=use_async)
-            self.logger.info("checkpoint %s: %s",
+                primary_only=True, async_save=use_async,
+                fetch_timeout_s=timeout)
+            self.logger.info("checkpoint %s: %s (host fetch %.2fs)",
                              "save scheduled (async)" if use_async
-                             else "saved", path)
+                             else "saved", path,
+                             hostfetch.last_fetch_seconds)
             if self.config.logging.save_best_only:
                 # keep only the latest full checkpoint + the best-model
                 # weights (LoggingConfig.save_best_only semantics — see
@@ -244,14 +259,22 @@ class AlphaZeroPipeline:
         buffer = replay_lib.ReplayBuffer(*restored["replay"]) \
             if not isinstance(restored["replay"], replay_lib.ReplayBuffer) \
             else restored["replay"]
+        key = restored["rng"]
         if mh.is_multiprocess():
             # re-pin everything fully-replicated over the global mesh (the
             # restored leaves may be host- or process-local)
-            state, best_variables, buffer = mesh_lib.replicate(
+            state, best_variables, buffer, key = mesh_lib.replicate(
                 self.mesh, mh.fetch_replicated(
-                    self.mesh, (state, best_variables, buffer)))
+                    self.mesh, (state, best_variables, buffer, key)))
         elif self.num_devices > 1:
-            state = mesh_lib.replicate(self.mesh, state)
+            # orbax restores single-device-committed arrays; EVERYTHING the
+            # mesh programs consume must be re-replicated or jit rejects the
+            # mixed placements ("incompatible devices") — state for the DP
+            # step, the buffer for scanned sampling, best_variables for the
+            # eval arena, and the rng key threading through sharded
+            # self-play (caught by the r4 CLI `continue` drive)
+            state, best_variables, buffer, key = mesh_lib.replicate(
+                self.mesh, (state, best_variables, buffer, key))
         self.learner.state = state
         self.best_variables = best_variables
         self.buffer = buffer
@@ -259,7 +282,7 @@ class AlphaZeroPipeline:
         self._saves_done = 0  # restart the every-K-th-save cadence
         self.iteration = int(restored["iteration"])
         self.best_elo = float(restored["best_elo"])
-        self.key = restored["rng"]
+        self.key = key
         self.logger.info("resumed from %s at iteration %d", path,
                          self.iteration)
         return True
@@ -302,15 +325,18 @@ class AlphaZeroPipeline:
                 # (parallel.multihost.relabel_sharded)
                 budget = (sp_cfg.exact_value_budget_s
                           if sp_cfg.exact_value_budget_s > 0 else None)
+                timeout = self.config.training.fetch_timeout_s or None
                 if mh.is_multiprocess():
                     traj, rstats = mh.relabel_sharded(
                         self.mesh, traj, sp_cfg.exact_value_empties,
-                        self.config.env_compat, budget)
+                        self.config.env_compat, budget,
+                        fetch_timeout_s=timeout)
                 else:
                     traj, rstats = \
                         selfplay_lib.relabel_exact_values_with_stats(
                             traj, sp_cfg.exact_value_empties,
-                            compat=self.config.env_compat, budget_s=budget)
+                            compat=self.config.env_compat, budget_s=budget,
+                            fetch_timeout_s=timeout)
                 for k, v in rstats.items():
                     # sum counts across self-play batches, but keep max
                     # semantics for extremum fields (matches
@@ -328,14 +354,19 @@ class AlphaZeroPipeline:
                         rstats["max_empties_solved"])
             if (sp_cfg.save_every > 0
                     and self.iteration % sp_cfg.save_every == 0):
+                timeout = self.config.training.fetch_timeout_s or None
                 to_save = traj
                 if mh.is_multiprocess():
                     # gather the sharded batch; only the primary persists
-                    to_save = mh.fetch_replicated(self.mesh, traj)
+                    to_save = hostfetch.guarded(
+                        lambda: mh.fetch_replicated(self.mesh, traj),
+                        timeout, what="trajectory gather")
                 if self.is_primary:
-                    selfplay_lib.save_trajectory(
-                        to_save, sp_cfg.save_dir,
-                        f"it{self.iteration:06d}_b{b}")
+                    hostfetch.guarded(
+                        lambda: selfplay_lib.save_trajectory(
+                            to_save, sp_cfg.save_dir,
+                            f"it{self.iteration:06d}_b{b}"),
+                        timeout, what="trajectory fetch+save")
             planes, policy, value, valid = \
                 selfplay_lib.flatten_trajectory(traj)
             self.buffer = replay_lib.add(self.buffer, planes, policy, value,
@@ -356,16 +387,17 @@ class AlphaZeroPipeline:
 
     def _train_epoch(self, num_positions: int) -> Dict[str, float]:
         """One pass of SGD over the fresh data volume
-        (pipeline.py:272-366 analog). With ``steps_per_dispatch > 1`` on the
-        single-device learner, SGD runs in scanned chunks — K steps per
-        compiled dispatch, sampling on-device (learner.train_steps) — which
+        (pipeline.py:272-366 analog). With ``steps_per_dispatch > 1``, SGD
+        runs in scanned chunks — K steps per compiled dispatch, sampling
+        on-device (``learner.train_steps`` single-device,
+        ``parallel.dp.make_dp_train_steps`` on a multi-device mesh) — which
         amortizes per-dispatch relay latency; the step budget rounds up to
         whole chunks."""
         cfg = self.config.training
         steps = max(1, math.ceil(num_positions / cfg.batch_size))
         chunk = max(1, int(cfg.steps_per_dispatch))
         agg: Dict[str, float] = {}
-        if chunk > 1 and isinstance(self.learner, learner_lib.Learner):
+        if chunk > 1:
             n_chunks = math.ceil(steps / chunk)
             steps = n_chunks * chunk
             for _ in range(n_chunks):
@@ -392,19 +424,30 @@ class AlphaZeroPipeline:
         ar = arena_lib.Arena(self.net, cfg, compat=self.config.env_compat)
         cur_vars, best_vars = self.learner.variables, self.best_variables
         if mh.is_multiprocess():
-            # run the arena as an identical process-LOCAL computation on
-            # every process: host copies of the replicated weights + the
-            # shared key make the results deterministic-identical, and the
-            # decision is broadcast from the primary anyway so promotion
-            # can never diverge across hosts (VERDICT r2 item 2)
+            # host copies of the replicated weights: each process runs its
+            # SHARD of the arena as a process-local computation
             cur_vars, best_vars = mh.fetch_replicated(
                 self.mesh, (cur_vars, best_vars))
         ar.add_player("current", cur_vars)
         ar.add_player("best", best_vars)
         ar.add_player("random", None)
         self.key, t_key = jax.random.split(self.key)
-        board = {p["player_id"]: p["rating"]
-                 for p in ar.run_tournament(t_key)}
+        if mh.is_multiprocess():
+            # sharded evaluation (VERDICT r3 item 3): each process plays
+            # only its (pairing, color-half) units on its local devices,
+            # per-game scores are allgathered, and every process replays
+            # the ELO updates in the canonical order — identical
+            # leaderboards by construction, ~1/P of the search work per
+            # process instead of P-duplicated full arenas; the decision is
+            # still broadcast from the primary below so promotion can
+            # never diverge across hosts (VERDICT r2 item 2)
+            leaderboard = ar.run_tournament_sharded(
+                t_key, jax.process_index(), jax.process_count(),
+                gather=mh.gather_unit_scores)
+            self._last_eval_units = list(ar.units_played)
+        else:
+            leaderboard = ar.run_tournament(t_key)
+        board = {p["player_id"]: p["rating"] for p in leaderboard}
         current_elo = board["current"]
         promoted = current_elo > board["best"] + cfg.promotion_elo_margin
         decision = mh.broadcast_from_primary(np.asarray(
@@ -426,7 +469,9 @@ class AlphaZeroPipeline:
                     self.config.training.checkpoint_dir, best_host,
                     primary_only=True,
                     async_save=(self.config.training.async_checkpointing
-                                and not mh.is_multiprocess()))
+                                and not mh.is_multiprocess()),
+                    fetch_timeout_s=(self.config.training.fetch_timeout_s
+                                     or None))
             self.logger.info("model promoted to best (elo %.1f > %.1f)",
                              current_elo, best_board_elo)
         return {"eval/elo": current_elo, "eval/best_elo": self.best_elo,
@@ -438,10 +483,18 @@ class AlphaZeroPipeline:
         Logger.log_embedding capability, src/logger.py:101-120): flattened
         canonical planes of up to ``n`` buffered positions, labeled by their
         value target. Skipped when TensorBoard is off or the buffer is
-        empty."""
+        empty.
+
+        The sampling key is DERIVED (``fold_in`` of a constant tag + step)
+        from the training stream without advancing it — logging must never
+        perturb training: the same seed produces bit-identical trajectories
+        whether TensorBoard is on or off, and a resumed run's key stream
+        matches the uninterrupted one (this runs after ``save_checkpoint``
+        snapshots ``self.key``; VERDICT r3 weak 3,
+        tests/test_pipeline.py rng-isolation tests)."""
         if not self.config.logging.use_tensorboard or not int(self.buffer.size):
             return
-        self.key, k = jax.random.split(self.key)
+        k = jax.random.fold_in(jax.random.fold_in(self.key, 0x10C), step)
         planes, _, value = replay_lib.sample(
             self.buffer, k, min(n, int(self.buffer.size)))
         flat = np.asarray(planes).reshape(planes.shape[0], -1)

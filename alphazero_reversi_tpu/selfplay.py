@@ -89,7 +89,7 @@ def _outcome_value(final: env.EnvState, to_move: jax.Array) -> jax.Array:
     static_argnames=("net", "num_games", "num_simulations", "max_depth",
                      "max_moves", "compat", "num_stages", "leaf_batch",
                      "algorithm", "max_considered_actions", "c_visit",
-                     "c_scale"),
+                     "c_scale", "tail_skip"),
 )
 def play_games(net, variables: Dict[str, Any], key: jax.Array, *,
                num_games: int, num_simulations: int, c_puct: float,
@@ -99,7 +99,7 @@ def play_games(net, variables: Dict[str, Any], key: jax.Array, *,
                compat: bool = False, num_stages: int = 6,
                leaf_batch: int = 1, algorithm: str = "puct",
                max_considered_actions: int = 16, c_visit: float = 50.0,
-               c_scale: float = 0.1,
+               c_scale: float = 0.1, tail_skip: bool = True,
                init_states: env.EnvState | None = None) -> Trajectory:
     """Play ``num_games`` games in lockstep; one XLA program end to end.
 
@@ -183,9 +183,21 @@ def play_games(net, variables: Dict[str, Any], key: jax.Array, *,
         # (search over games already done mid-batch) is tracked by the
         # selfplay/live_fraction metric instead — compaction would need
         # dynamic shapes.
-        new_states, record = jax.lax.cond(
-            jnp.any(~states.done), live_step, dead_step,
-            (states, t, step_key))
+        #
+        # ``tail_skip=False`` removes the ``jnp.any`` — the program's ONLY
+        # cross-game reduction. With the game batch sharded over a mesh
+        # that reduction is the only collective GSPMD would emit; the
+        # sharded self-play path disables it so the compiled program is
+        # provably communication-free (tests/test_parallel.py HLO check).
+        # Trajectory actions/value/valid are bit-identical either way: the
+        # skipped branch only changes PADDING rows (valid=False), which
+        # training masks.
+        if tail_skip:
+            new_states, record = jax.lax.cond(
+                jnp.any(~states.done), live_step, dead_step,
+                (states, t, step_key))
+        else:
+            new_states, record = live_step((states, t, step_key))
         return (new_states, key), record
 
     step_keys = jax.random.split(key, max_moves)
@@ -305,6 +317,7 @@ def load_trajectory_arrays(path: str) -> Dict[str, np.ndarray]:
 def relabel_exact_values_with_stats(
         traj: Trajectory, max_empties: int, compat: bool = False,
         budget_s: Optional[float] = None,
+        fetch_timeout_s: Optional[float] = None,
 ) -> Tuple[Trajectory, Dict[str, float]]:
     """Replace value targets of late positions with the solver's
     game-theoretic outcome (``SelfPlayConfig.exact_value_empties``).
@@ -334,9 +347,13 @@ def relabel_exact_values_with_stats(
     ``seconds``, ``max_empties_solved``, ``changed`` (labels that differ
     from the realized outcome).
     """
+    from . import hostfetch
+
+    planes, to_move, valid, value0 = hostfetch.device_get(
+        (traj.planes, traj.to_move, traj.valid, traj.value),
+        fetch_timeout_s, what="relabel trajectory fetch")
     value, stats = relabel_np(
-        np.asarray(traj.planes), np.asarray(traj.to_move),
-        np.asarray(traj.valid), np.asarray(traj.value),
+        planes, to_move, valid, value0,
         max_empties=max_empties, compat=compat, budget_s=budget_s)
     if stats["solved"] == 0:
         return traj, stats

@@ -81,5 +81,8 @@ with open(os.path.join(outdir, f"result_p{pid}.json"), "w") as f:
         "metrics": [{k: float(v) for k, v in m.items()}
                     for m in pipe.metrics_history],
         "best_elo": float(pipe.best_elo),
+        # sharded eval (VERDICT r3 item 3): which tournament units this
+        # process played in the last iteration's evaluation
+        "eval_units": list(pipe._last_eval_units),
     }, f)
 print(f"proc {pid} done", flush=True)

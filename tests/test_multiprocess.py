@@ -99,6 +99,15 @@ def test_two_process_full_pipeline(tmp_path):
             assert m0[k] == pytest.approx(m1[k], rel=1e-6), k
     assert results[0]["best_elo"] == pytest.approx(results[1]["best_elo"])
 
+    # sharded evaluation (VERDICT r3 item 3): each process played only its
+    # own (pairing, color-half) units — disjoint, balanced, and together
+    # covering all 6 units of the 3-player arena — while the leaderboards
+    # (eval/elo metrics above) still agree bit-exactly
+    u0, u1 = set(results[0]["eval_units"]), set(results[1]["eval_units"])
+    assert u0.isdisjoint(u1)
+    assert u0 | u1 == set(range(6))
+    assert len(u0) == len(u1) == 3
+
     # primary-only writes: process 1's artifact dirs must not exist (or be
     # empty) — the non-primary logger/checkpointer creates nothing
     p0_ckpt = tmp_path / "ckpt_p0"

@@ -99,6 +99,102 @@ def test_dp_step_on_distinct_shards_runs_and_replicates(net_and_vars):
         np.testing.assert_array_equal(shards[0], s)
 
 
+def _random_buffer(key, n=96, capacity=128):
+    from alphazero_reversi_tpu import replay as replay_lib
+
+    k1, k2, k3 = jax.random.split(key, 3)
+    buf = replay_lib.create(capacity)
+    planes = jax.random.bernoulli(k1, 0.3, (n, 8, 8, 3)).astype(jnp.float32)
+    policy = jax.nn.softmax(jax.random.normal(k2, (n, 65)), axis=-1)
+    value = jnp.tanh(jax.random.normal(k3, (n,)))
+    return replay_lib.add(buf, planes, policy, value,
+                          jnp.ones((n,), jnp.bool_))
+
+
+@pytest.mark.parametrize("use_batch_norm", [True, False])
+def test_dp_scanned_steps_match_per_step(use_batch_norm):
+    """K scanned DP steps (one dispatch, on-device sampling) must equal K
+    per-step DP dispatches fed the same replay samples (VERDICT r3 item 1).
+    The scanned body re-derives replay.sample's exact indices per shard, so
+    the only difference is dispatch count. BN-free leg: no batch statistics,
+    so the agreement is float-exact; BN leg: same per-shard statistics on
+    both paths, still tight."""
+    from alphazero_reversi_tpu import replay as replay_lib
+
+    model_cfg = ModelConfig(num_res_blocks=1, num_filters=8,
+                            value_head_hidden_size=16,
+                            compute_dtype="float32",
+                            use_batch_norm=use_batch_norm)
+    net = resnet.build_network(model_cfg)
+    variables = resnet.init_variables(net, jax.random.PRNGKey(0))
+    cfg = TrainingConfig(learning_rate=1e-2)
+    m = mesh_lib.make_mesh()
+    buffer = _random_buffer(jax.random.PRNGKey(4))
+    K, bs = 3, 16
+
+    per_step = dp.DPTrainer(net, variables, cfg, m)
+    key = jax.random.PRNGKey(9)
+    per_aux = []
+    for k in jax.random.split(key, K):
+        ks, kd = jax.random.split(k)
+        batch = replay_lib.sample(buffer, ks, bs)
+        per_aux.append(per_step.step(*batch, dropout_rng=kd))
+
+    scanned = dp.DPTrainer(net, variables, cfg, m)
+    aux = scanned.steps(buffer, key, K, bs)
+
+    for a, b in zip(jax.tree_util.tree_leaves(per_step.state),
+                    jax.tree_util.tree_leaves(scanned.state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+    mean_loss = np.mean([float(a["loss"]) for a in per_aux])
+    np.testing.assert_allclose(float(aux["loss"]), mean_loss, rtol=1e-5)
+    # the scanned state stays replicated across every device
+    leaf = jax.tree_util.tree_leaves(scanned.state.params)[0]
+    shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
+
+
+def test_dp_scanned_steps_rejects_indivisible_batch(net_and_vars):
+    net, variables = net_and_vars
+    m = mesh_lib.make_mesh()
+    trainer = dp.DPTrainer(net, variables, TrainingConfig(), m)
+    with pytest.raises(ValueError):
+        trainer.steps(_random_buffer(jax.random.PRNGKey(1)),
+                      jax.random.PRNGKey(0), 2, 12)  # 12 % 8 != 0
+
+
+def test_dp_default_rng_differs_per_step(net_and_vars):
+    """A DPTrainer driven WITHOUT explicit rngs must not reuse one fixed
+    random draw every step (VERDICT r3 weak 5): with symmetry augmentation
+    on, the default rng now derives from state.step, so step 2 sees a
+    different augmentation than a run whose step 2 explicitly reuses
+    step 1's key."""
+    net, variables = net_and_vars
+    cfg = TrainingConfig(learning_rate=1e-2, augment_symmetries=True)
+    m = mesh_lib.make_mesh()
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(3), 3)
+    planes = jax.random.bernoulli(k1, 0.3, (16, 8, 8, 3)).astype(jnp.float32)
+    policy = jax.nn.softmax(jax.random.normal(k2, (16, 65)), axis=-1)
+    value = jnp.tanh(jax.random.normal(k3, (16,)))
+
+    step0_key = jax.random.fold_in(jax.random.PRNGKey(0), 0)
+    defaulted = dp.DPTrainer(net, variables, cfg, m)
+    pinned = dp.DPTrainer(net, variables, cfg, m)
+    # step 1: identical by construction (default == fold_in(key0, step=0))
+    aux_d = defaulted.step(planes, policy, value)
+    aux_p = pinned.step(planes, policy, value, step0_key)
+    assert float(aux_d["loss"]) == pytest.approx(float(aux_p["loss"]),
+                                                 rel=1e-6)
+    # step 2 on the SAME batch: the defaulted trainer must draw fresh
+    # augmentation randomness; the pinned trainer deliberately reuses step
+    # 1's key — their losses may only agree if the rng were still constant
+    aux_d2 = defaulted.step(planes, policy, value)
+    aux_p2 = pinned.step(planes, policy, value, step0_key)
+    assert float(aux_d2["loss"]) != float(aux_p2["loss"])
+
+
 def test_sharded_selfplay_matches_unsharded(net_and_vars):
     """Sharding is a placement decision, not a math change: identical keys
     must give identical games."""
@@ -117,6 +213,58 @@ def test_sharded_selfplay_matches_unsharded(net_and_vars):
     np.testing.assert_array_equal(np.asarray(sharded.value),
                                   np.asarray(plain.value))
     assert bool(sharded.final_state.done.all())
+
+
+@pytest.mark.parametrize("algorithm", ["puct", "gumbel"])
+def test_sharded_selfplay_hlo_has_no_collectives(net_and_vars, algorithm):
+    """Compile-level proof of the zero-communication claim (VERDICT r3
+    item 2): the OPTIMIZED HLO of the sharded self-play program on the
+    8-device mesh contains no cross-shard collectives at all — parameter
+    placement happens outside the program, the tail-skip reduction is
+    disabled on this path (selfplay.play_games tail_skip), and the root
+    Dirichlet noise uses the collective-free fixed-trial gamma sampler
+    (ops.random) instead of jax.random.gamma's rejection while_loop."""
+    import re
+
+    net, variables = net_and_vars
+    m = mesh_lib.make_mesh()
+    kwargs = dict(num_simulations=4, c_puct=1.0, dirichlet_alpha=0.3,
+                  dirichlet_epsilon=0.25, temp_threshold=4, temp_init=1.0,
+                  temp_final=0.1, max_moves=8, max_depth=4,
+                  algorithm=algorithm)
+    vr = mesh_lib.replicate(m, variables)
+    init = dp.sharded_initial_states(m, 16)
+    lowered = selfplay_lib.play_games.lower(
+        net, vr, jax.random.PRNGKey(0), num_games=16, init_states=init,
+        tail_skip=False, **kwargs)
+    hlo = lowered.compile().as_text()
+    found = sorted(set(re.findall(
+        r"all-reduce|all-gather|collective-permute|all-to-all"
+        r"|reduce-scatter|collective-broadcast", hlo)))
+    assert not found, f"sharded self-play compiled with collectives: {found}"
+
+
+def test_tail_skip_off_is_semantically_identical(net_and_vars):
+    """tail_skip only changes PADDING rows: actions/value/valid (and hence
+    everything training consumes) are bit-identical with it on or off."""
+    net, variables = net_and_vars
+    kwargs = dict(num_simulations=4, c_puct=1.0, dirichlet_alpha=0.3,
+                  dirichlet_epsilon=0.25, temp_threshold=4, temp_init=1.0,
+                  temp_final=0.1, max_moves=64, max_depth=4)
+    key = jax.random.PRNGKey(7)
+    on = selfplay_lib.play_games(net, variables, key, num_games=4,
+                                 tail_skip=True, **kwargs)
+    off = selfplay_lib.play_games(net, variables, key, num_games=4,
+                                  tail_skip=False, **kwargs)
+    np.testing.assert_array_equal(np.asarray(on.actions),
+                                  np.asarray(off.actions))
+    np.testing.assert_array_equal(np.asarray(on.value),
+                                  np.asarray(off.value))
+    np.testing.assert_array_equal(np.asarray(on.valid),
+                                  np.asarray(off.valid))
+    # max_moves=64 > the 60-ply game bound, so the all-done tail exists
+    # and the toggle actually exercised both branches
+    assert not np.asarray(on.valid)[-1].any()
 
 
 def test_sharded_selfplay_rejects_indivisible(net_and_vars):
@@ -184,6 +332,12 @@ def test_pipeline_trains_data_parallel(tmp_path):
     fresh = AlphaZeroPipeline(cfg, run_name="dp2")
     assert fresh.load_checkpoint()
     assert fresh.iteration == 1
+    # resume-then-train on the mesh: every restored leaf (state, buffer,
+    # best variables, rng key) must be re-replicated or the mesh programs
+    # reject the mixed placements (r4 regression, caught by the CLI
+    # `continue` drive)
+    fresh.train(num_iterations=2)
+    assert fresh.iteration == 2
 
     # the same config drives DP through the reference CLI surface
     cfg2 = Config.from_dict(json.loads(json.dumps(cfg.to_dict())))
