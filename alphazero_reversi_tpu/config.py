@@ -189,7 +189,9 @@ class TrainingConfig:
     # older, i.e. < K * save_interval iterations; it refills within an
     # iteration or two of resuming).
     # Interrupt saves always refresh. 1 = every save carries the live
-    # buffer (exact resume, the default).
+    # buffer (exact resume, the default). Works on single-controller AND
+    # multi-process pipelines (every process evolves the same due-ness, so
+    # the skip cannot diverge across hosts).
     replay_checkpoint_interval: int = 1
     # Relay-hang watchdog (hostfetch.py): abort any critical device->host
     # fetch (checkpoint state, replay snapshot, relabel/trajectory fetches)

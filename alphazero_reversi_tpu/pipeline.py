@@ -187,24 +187,33 @@ class AlphaZeroPipeline:
     def save_checkpoint(self, fresh_replay: bool = False) -> str:
         tree = self._checkpoint_tree()
         timeout = self.config.training.fetch_timeout_s or None
+        # the replay buffer dominates the checkpoint fetch (~92 of ~95 MB
+        # at flagship capacity); with replay_checkpoint_interval K > 1 only
+        # every K-th save fetches it fresh — the others reuse the last host
+        # snapshot. Keyed to the save COUNT (not the iteration number) so
+        # "every K-th save" holds whatever save_interval is; `due` depends
+        # only on state every process evolves identically, so the
+        # multi-process branch below cannot diverge across hosts.
+        interval = max(1, self.config.training.replay_checkpoint_interval)
+        due = (interval == 1 or fresh_replay or self._replay_host is None
+               or self._saves_done % interval == 0)
         if mh.is_multiprocess():
             # replicated state -> host numpy on every process (cheap: the
             # all-gather is a no-op for replicated leaves), then ONE writer
-            tree = hostfetch.guarded(
-                lambda: mh.fetch_replicated(self.mesh, tree), timeout,
-                what="replicated checkpoint fetch")
+            if interval > 1 and not due:
+                rest = {k: v for k, v in tree.items() if k != "replay"}
+                tree = hostfetch.guarded(
+                    lambda: mh.fetch_replicated(self.mesh, rest), timeout,
+                    what="replicated checkpoint fetch (replay reused)")
+                tree["replay"] = self._replay_host
+            else:
+                tree = hostfetch.guarded(
+                    lambda: mh.fetch_replicated(self.mesh, tree), timeout,
+                    what="replicated checkpoint fetch")
+                if interval > 1:
+                    self._replay_host = tree["replay"]
         else:
-            # the replay buffer dominates the checkpoint fetch (~92 of
-            # ~95 MB at flagship capacity); with
-            # replay_checkpoint_interval K > 1 only every K-th save fetches
-            # it fresh — the others reuse the last host snapshot
-            # (TrainingConfig.replay_checkpoint_interval semantics)
-            interval = max(1, self.config.training.replay_checkpoint_interval)
             if interval > 1:
-                # keyed to the save COUNT (not the iteration number) so
-                # "every K-th save" holds whatever save_interval is
-                due = (fresh_replay or self._replay_host is None
-                       or self._saves_done % interval == 0)
                 if due:
                     self._replay_host = hostfetch.device_get(
                         self.buffer, timeout, what="replay buffer fetch")
