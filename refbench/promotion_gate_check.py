@@ -68,16 +68,10 @@ def main():
                          f"rejected={len(rejected)}")
     p, r = promoted[-1], rejected[-1]
 
+    from alphazero_reversi_tpu.pipeline import make_checkpoint_template
+
     net = resnet.build_network(cfg.model)
-    init_vars = resnet.init_variables(net, jax.random.PRNGKey(0))
-    lrn = learner_lib.Learner(net, init_vars, cfg.training)
-    template = {
-        "state": lrn.state,
-        "best_variables": jax.tree_util.tree_map(np.asarray, lrn.variables),
-        "replay": replay_lib.create(cfg.training.replay_capacity),
-        "iteration": np.int32(0), "best_elo": np.float32(0),
-        "rng": jax.random.PRNGKey(0),
-    }
+    template = make_checkpoint_template(cfg)
     ckpt_dir = cfg.training.checkpoint_dir
 
     def load(it):
