@@ -155,13 +155,22 @@ def prune_checkpoints(ckpt_dir: str, keep_latest: int = 1) -> list:
     return doomed
 
 
-def restore_checkpoint(path: str, template: Dict[str, Any]) -> Dict[str, Any]:
+def restore_checkpoint(path: str, template: Dict[str, Any],
+                       primary_only: bool = False) -> Dict[str, Any]:
     """Restore a checkpoint into the structure of ``template`` (a concrete
-    pytree with the right shapes/dtypes, e.g. a freshly initialized state)."""
+    pytree with the right shapes/dtypes, e.g. a freshly initialized state).
+
+    ``primary_only=True``: read through the active_processes={0}
+    checkpointer, whose internal barriers involve only process 0 — for the
+    multi-controller resume flow where the PRIMARY alone reads the store
+    and broadcasts the tree (pipeline.load_checkpoint); the default
+    checkpointer's restore is itself a cross-process collective and
+    requires every process to see the directory."""
     wait_for_saves()  # a just-scheduled async save must be readable
     abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct,
                                       template)
-    return _checkpointer().restore(os.path.abspath(path), abstract)
+    return _checkpointer(primary_only=primary_only).restore(
+        os.path.abspath(path), abstract)
 
 
 def save_best(ckpt_dir: str, variables: Dict[str, Any],
@@ -179,13 +188,17 @@ def save_best(ckpt_dir: str, variables: Dict[str, Any],
     return path
 
 
-def restore_best(ckpt_dir: str, template: Dict[str, Any]
-                 ) -> Optional[Dict[str, Any]]:
-    """Load the best model's variables if present (pipeline.py:398-434)."""
+def restore_best(ckpt_dir: str, template: Dict[str, Any],
+                 primary_only: bool = False) -> Optional[Dict[str, Any]]:
+    """Load the best model's variables if present (pipeline.py:398-434).
+
+    ``primary_only``: as in :func:`restore_checkpoint` — the restore of the
+    default checkpointer is a cross-process collective; multi-controller
+    callers must read on the primary alone and broadcast."""
     wait_for_saves()  # a just-scheduled async save must be readable
     path = os.path.join(os.path.abspath(ckpt_dir), "best_model")
     if not os.path.isdir(path):
         return None
     abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct,
                                       template)
-    return _checkpointer().restore(path, abstract)
+    return _checkpointer(primary_only=primary_only).restore(path, abstract)

@@ -174,10 +174,11 @@ class TrainingConfig:
     # Overlap checkpoint disk writes with the next iteration (orbax async
     # save: arrays are copied out of their buffers before save() returns,
     # so subsequent donated train steps cannot corrupt the write; the next
-    # save — or train-loop exit — waits for the previous one). Applies to
-    # single-controller runs only: multi-process pipelines keep synchronous
-    # saves so the post-save barrier still hands every process a finalized
-    # checkpoint (pipeline.save_checkpoint).
+    # save — or train-loop exit — waits for the previous one). Works on
+    # multi-process pipelines too (r4): the primary alone schedules the
+    # write from already-host-fetched state, and restores are protected by
+    # wait-for-saves + a barrier in load_checkpoint rather than by making
+    # every save synchronous.
     async_checkpointing: bool = True
     # Checkpoint the replay buffer every K-th save only; in-between saves
     # reuse the most recent host snapshot of it. The buffer dominates the

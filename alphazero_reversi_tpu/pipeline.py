@@ -129,15 +129,37 @@ class AlphaZeroPipeline:
         # best-so-far model for the promotion gate (best_model.pth analog)
         self.best_variables = jax.tree_util.tree_map(
             jnp.copy, self.learner.variables)
-        restored_best = ckpt_lib.restore_best(
-            config.training.checkpoint_dir, self.best_variables)
-        if restored_best is not None:
-            # re-pin on the mesh: a restored tree is single-device-committed
-            # and would clash with the replicated learner state in the
-            # eval arena's jit (see load_checkpoint)
-            self.best_variables = (
-                mesh_lib.replicate(self.mesh, restored_best)
-                if self.num_devices > 1 else restored_best)
+        if mh.is_multiprocess():
+            # primary-only read + broadcast (the default checkpointer's
+            # restore is a cross-process collective, and non-primary hosts
+            # may not even mount the checkpoint store — see
+            # load_checkpoint)
+            host_template = jax.tree_util.tree_map(
+                lambda x: np.zeros(x.shape, x.dtype), self.best_variables)
+            restored_best = None
+            if self.is_primary:
+                restored_best = ckpt_lib.restore_best(
+                    config.training.checkpoint_dir, host_template,
+                    primary_only=True)
+            found = bool(np.asarray(mh.broadcast_from_primary(
+                np.float64(0.0 if restored_best is None else 1.0))))
+            if found:
+                restored_best = mh.broadcast_from_primary(
+                    restored_best if restored_best is not None
+                    else host_template)
+                self.best_variables = mesh_lib.replicate(self.mesh,
+                                                         restored_best)
+        else:
+            restored_best = ckpt_lib.restore_best(
+                config.training.checkpoint_dir, self.best_variables)
+            if restored_best is not None:
+                # re-pin on the mesh: a restored tree is
+                # single-device-committed and would clash with the
+                # replicated learner state in the eval arena's jit (see
+                # load_checkpoint)
+                self.best_variables = (
+                    mesh_lib.replicate(self.mesh, restored_best)
+                    if self.num_devices > 1 else restored_best)
 
         self.iteration = 0
         self.best_elo = float(config.tournament.elo_initial)
@@ -221,11 +243,13 @@ class AlphaZeroPipeline:
         self._saves_done += 1
         path = ckpt_lib.checkpoint_path(
             self.config.training.checkpoint_dir, self.iteration)
-        # async saves overlap the disk write with the next iteration;
-        # multi-process runs stay synchronous so the barrier below still
-        # guarantees every process a finalized checkpoint on return
-        use_async = (self.config.training.async_checkpointing
-                     and not mh.is_multiprocess())
+        # async saves overlap the disk write with the next iteration — on
+        # multi-process runs too (r4): the tree is already host numpy on
+        # every process, the primary alone schedules the orbax write, and
+        # the finalized-before-read guarantee moves to restore time
+        # (load_checkpoint waits for in-flight saves on the primary and
+        # barriers before anyone lists the directory)
+        use_async = self.config.training.async_checkpointing
         if self.is_primary:
             path = ckpt_lib.save_checkpoint(
                 self.config.training.checkpoint_dir, self.iteration, tree,
@@ -247,20 +271,57 @@ class AlphaZeroPipeline:
                 for old in ckpt_lib.prune_checkpoints(
                         self.config.training.checkpoint_dir, keep_latest=1):
                     self.logger.info("pruned old checkpoint: %s", old)
-        # everyone waits for the write, so a subsequent restore (on any
-        # process) sees a finalized checkpoint
+        # everyone aligns on the scheduled save (sync saves: on the
+        # finished write). With async saves the checkpoint may still be
+        # writing past this barrier — readers are protected at restore
+        # time instead (load_checkpoint / train-exit wait_for_saves)
         mh.barrier(f"save_checkpoint_{self.iteration}")
         return path
 
     def load_checkpoint(self, path: Optional[str] = None) -> bool:
         """Restore full training state; ``path=None`` loads the latest
-        (pipeline.py:488-559 / run.py --resume analog)."""
-        if path is None:
-            path = ckpt_lib.latest_checkpoint(
-                self.config.training.checkpoint_dir)
-        if path is None:
-            return False
-        restored = ckpt_lib.restore_checkpoint(path, self._checkpoint_tree())
+        (pipeline.py:488-559 / run.py --resume analog).
+
+        Multi-controller: the PRIMARY alone reads the checkpoint store
+        (``restore_checkpoint(primary_only=True)`` — its wait_for_saves
+        also finalizes any in-flight async write first) and broadcasts the
+        host tree to every process. Two things this buys: non-primary
+        hosts never need the checkpoint storage mounted at all, and the
+        read can never race an async save or diverge on directory listings
+        (the broadcast IS the synchronization)."""
+        if mh.is_multiprocess():
+            # host-numpy template: the primary restores WITHOUT any global
+            # sharding in the abstract tree (a device template would make
+            # orbax rebuild global arrays, which blocks on the absent
+            # peers), and the same zeros tree is the non-primaries'
+            # structure donor for the broadcast
+            host_template = jax.tree_util.tree_map(
+                lambda x: np.zeros(x.shape, x.dtype),
+                self._checkpoint_tree())
+            tree_host = None
+            if self.is_primary:
+                p = path if path is not None else ckpt_lib.latest_checkpoint(
+                    self.config.training.checkpoint_dir)
+                if p is not None:
+                    tree_host = ckpt_lib.restore_checkpoint(
+                        p, host_template, primary_only=True)
+                    path = p
+            found = bool(np.asarray(mh.broadcast_from_primary(
+                np.float64(0.0 if tree_host is None else 1.0))))
+            if not found:
+                return False
+            if tree_host is None:
+                tree_host = host_template
+                path = "<broadcast from primary>"
+            restored = mh.broadcast_from_primary(tree_host)
+        else:
+            if path is None:
+                path = ckpt_lib.latest_checkpoint(
+                    self.config.training.checkpoint_dir)
+            if path is None:
+                return False
+            restored = ckpt_lib.restore_checkpoint(path,
+                                                   self._checkpoint_tree())
         state = learner_lib.TrainState(*restored["state"]) \
             if not isinstance(restored["state"], learner_lib.TrainState) \
             else restored["state"]
@@ -477,8 +538,7 @@ class AlphaZeroPipeline:
                 ckpt_lib.save_best(
                     self.config.training.checkpoint_dir, best_host,
                     primary_only=True,
-                    async_save=(self.config.training.async_checkpointing
-                                and not mh.is_multiprocess()),
+                    async_save=self.config.training.async_checkpointing,
                     fetch_timeout_s=(self.config.training.fetch_timeout_s
                                      or None))
             self.logger.info("model promoted to best (elo %.1f > %.1f)",

@@ -69,6 +69,14 @@ cfg.tournament.output_dir = os.path.join(outdir, f"tourn_p{pid}")
 pipe = AlphaZeroPipeline(cfg, run_name="mp")
 pipe.train()
 
+# async multi-process checkpointing + broadcast resume (r4): the primary
+# finalizes its in-flight orbax write, reads the checkpoint alone, and
+# broadcasts the tree — every process resumes even though only the
+# primary's checkpoint dir exists (write-isolation setup).
+pipe2 = AlphaZeroPipeline(cfg, run_name="mp_resume")
+resumed = pipe2.load_checkpoint()
+resumed_iteration = pipe2.iteration if resumed else -1
+
 params_np = mh.fetch_replicated(pipe.mesh, pipe.learner.state.params)
 digest = hashlib.sha256()
 for leaf in jax.tree_util.tree_leaves(params_np):
@@ -84,5 +92,7 @@ with open(os.path.join(outdir, f"result_p{pid}.json"), "w") as f:
         # sharded eval (VERDICT r3 item 3): which tournament units this
         # process played in the last iteration's evaluation
         "eval_units": list(pipe._last_eval_units),
+        "resumed": bool(resumed),
+        "resumed_iteration": int(resumed_iteration),
     }, f)
 print(f"proc {pid} done", flush=True)

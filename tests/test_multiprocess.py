@@ -108,6 +108,13 @@ def test_two_process_full_pipeline(tmp_path):
     assert u0 | u1 == set(range(6))
     assert len(u0) == len(u1) == 3
 
+    # async multi-process checkpointing + broadcast resume (r4): the
+    # primary alone reads the (async-written, finalized-before-read)
+    # checkpoint and broadcasts the tree — so BOTH processes resume, even
+    # though only the primary has a checkpoint dir at all here
+    for r in results:
+        assert r["resumed"] and r["resumed_iteration"] == 2
+
     # primary-only writes: process 1's artifact dirs must not exist (or be
     # empty) — the non-primary logger/checkpointer creates nothing
     p0_ckpt = tmp_path / "ckpt_p0"
