@@ -149,16 +149,23 @@ def relabel_sharded(mesh: Mesh, traj, max_empties: int, compat: bool,
     from .. import hostfetch
     from .. import selfplay as selfplay_lib
 
-    planes = canonical_tb_sharding(mesh, traj.planes)
+    # pack stones to u64 bitboards ON DEVICE before any host transfer: the
+    # per-process shard fetch is ~36x smaller than fetching f32 planes
+    # (selfplay.pack_stone_boards)
+    mhi, mlo, thi, tlo = (
+        canonical_tb_sharding(mesh, a)
+        for a in selfplay_lib.pack_stone_boards(traj.planes))
     to_move = canonical_tb_sharding(mesh, traj.to_move)
     valid = canonical_tb_sharding(mesh, traj.valid)
     value = canonical_tb_sharding(mesh, traj.value)
     blocks = hostfetch.guarded(
-        lambda: (local_block(planes, 1), local_block(to_move, 1),
-                 local_block(valid, 1), local_block(value, 1)),
+        lambda: tuple(local_block(a, 1) for a in
+                      (mhi, mlo, thi, tlo, to_move, valid, value)),
         fetch_timeout_s, what="relabel shard fetch")
-    new_local, stats = selfplay_lib.relabel_np(
-        *blocks,
+    new_local, stats = selfplay_lib.relabel_packed_np(
+        selfplay_lib._combine_u64_np(blocks[0], blocks[1]),
+        selfplay_lib._combine_u64_np(blocks[2], blocks[3]),
+        *blocks[4:],
         max_empties=max_empties, compat=compat, budget_s=budget_s)
     new_value = from_local_block(mesh, np.ascontiguousarray(new_local), 1)
     return traj._replace(value=new_value), aggregate_stats(stats)

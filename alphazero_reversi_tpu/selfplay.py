@@ -314,6 +314,45 @@ def load_trajectory_arrays(path: str) -> Dict[str, np.ndarray]:
         }
 
 
+@jax.jit
+def pack_stone_boards(planes: jax.Array) -> Tuple[jax.Array, ...]:
+    """Pack the mover/opponent stone planes of ``[..., 8, 8, C]`` canonical
+    input into four uint32 arrays ``(mine_hi, mine_lo, theirs_hi,
+    theirs_lo)`` of the leading shape — the device side of the exact-value
+    relabel path.
+
+    Why: the solver only needs the *stones*, and a packed position is 16
+    bytes vs 768 bytes of f32 planes. Packing on device before the host
+    fetch shrinks the relabel transfer ~36x (flagship: ~48 MB -> ~1.3 MB
+    per iteration through the relay). Bit order matches
+    ``ops.u64.from_board`` / the host ``np.packbits(..., bitorder="little")``
+    convention: bit ``r*8+c`` = square (r, c).
+    """
+    from .ops import u64
+    mine = u64.from_board(planes[..., 0] > 0.5)
+    theirs = u64.from_board(planes[..., 1] > 0.5)
+    return mine.hi, mine.lo, theirs.hi, theirs.lo
+
+
+def _combine_u64_np(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
+    """(hi, lo) uint32 halves -> one np.uint64 array."""
+    return (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
+
+
+def _popcount64_np(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (numpy<2 has no ``bitwise_count``)."""
+    x = x.astype(np.uint64, copy=True)
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h01 = np.uint64(0x0101010101010101)
+    with np.errstate(over="ignore"):  # the multiply wraps mod 2^64 by design
+        x = x - ((x >> np.uint64(1)) & m1)
+        x = (x & m2) + ((x >> np.uint64(2)) & m2)
+        x = (x + (x >> np.uint64(4))) & m4
+        return ((x * h01) >> np.uint64(56)).astype(np.int64)
+
+
 def relabel_exact_values_with_stats(
         traj: Trajectory, max_empties: int, compat: bool = False,
         budget_s: Optional[float] = None,
@@ -349,11 +388,13 @@ def relabel_exact_values_with_stats(
     """
     from . import hostfetch
 
-    planes, to_move, valid, value0 = hostfetch.device_get(
-        (traj.planes, traj.to_move, traj.valid, traj.value),
+    packed = pack_stone_boards(traj.planes)
+    mhi, mlo, thi, tlo, to_move, valid, value0 = hostfetch.device_get(
+        (*packed, traj.to_move, traj.valid, traj.value),
         fetch_timeout_s, what="relabel trajectory fetch")
-    value, stats = relabel_np(
-        planes, to_move, valid, value0,
+    value, stats = relabel_packed_np(
+        _combine_u64_np(mhi, mlo), _combine_u64_np(thi, tlo),
+        to_move, valid, value0,
         max_empties=max_empties, compat=compat, budget_s=budget_s)
     if stats["solved"] == 0:
         return traj, stats
@@ -364,9 +405,33 @@ def relabel_np(planes: np.ndarray, to_move: np.ndarray, valid: np.ndarray,
                value: np.ndarray, *, max_empties: int, compat: bool = False,
                budget_s: Optional[float] = None
                ) -> Tuple[np.ndarray, Dict[str, float]]:
-    """Host core of ``relabel_exact_values_with_stats`` over numpy blocks —
-    shared by the single-process path and the multi-controller path
-    (``parallel.multihost``: each process relabels its OWN shard of the
+    """Planes-input wrapper of :func:`relabel_packed_np` — packs the stone
+    planes into u64 bitboards on the host (vectorized) and delegates. Kept
+    for callers that start from fetched/loaded plane tensors (tests,
+    refbench probes); the pipeline paths pack on device instead
+    (``pack_stone_boards``) so the relay fetch is ~36x smaller."""
+    def pack_all(boards: np.ndarray) -> np.ndarray:
+        # [..., 8, 8] -> uint64 [...]; bit r*8+c = square (r, c)
+        flat = (boards > 0.5).reshape(*boards.shape[:-2], 64)
+        bytes8 = np.packbits(flat, axis=-1, bitorder="little")
+        return np.ascontiguousarray(bytes8).view(np.uint64)[..., 0]
+
+    return relabel_packed_np(
+        pack_all(planes[..., 0]), pack_all(planes[..., 1]),
+        to_move, valid, value,
+        max_empties=max_empties, compat=compat, budget_s=budget_s)
+
+
+def relabel_packed_np(mine64: np.ndarray, theirs64: np.ndarray,
+                      to_move: np.ndarray, valid: np.ndarray,
+                      value: np.ndarray, *, max_empties: int,
+                      compat: bool = False,
+                      budget_s: Optional[float] = None
+                      ) -> Tuple[np.ndarray, Dict[str, float]]:
+    """Host core of ``relabel_exact_values_with_stats`` over packed-bitboard
+    numpy blocks (``mine64``/``theirs64``: uint64 ``[T, B]``, bit ``r*8+c``
+    per square) — shared by the single-process path and the multi-controller
+    path (``parallel.multihost``: each process relabels its OWN shard of the
     games, so the solver work parallelizes across hosts)."""
     stats = {"candidates": 0, "solved": 0, "unique_solves": 0,
              "skipped": 0, "seconds": 0.0, "max_empties_solved": 0,
@@ -377,8 +442,7 @@ def relabel_np(planes: np.ndarray, to_move: np.ndarray, valid: np.ndarray,
 
     from .env import endgame as endgame_lib
 
-    stones = planes[..., :2]  # [T, B, 8, 8, 2] mover/opp
-    empties = 64 - stones.sum((-1, -2, -3)).astype(np.int64)
+    empties = 64 - _popcount64_np(mine64 | theirs64)
     candidates = valid & (empties <= max_empties)
     stats["candidates"] = int(candidates.sum())
     if not candidates.any():
@@ -386,10 +450,6 @@ def relabel_np(planes: np.ndarray, to_move: np.ndarray, valid: np.ndarray,
 
     value = value.copy()
     solver = endgame_lib.EndgameSolver(compat=compat)
-
-    def pack(board8x8: np.ndarray) -> int:
-        bits = np.packbits(board8x8.reshape(64) > 0.5, bitorder="little")
-        return int.from_bytes(bits.tobytes(), "little")
 
     ts, bs = np.nonzero(candidates)
     order = np.argsort(empties[ts, bs], kind="stable")
@@ -399,8 +459,8 @@ def relabel_np(planes: np.ndarray, to_move: np.ndarray, valid: np.ndarray,
         if budget_s is not None and _time.perf_counter() - t0 > budget_s:
             stats["skipped"] = len(order) - i
             break
-        mine = pack(stones[t, b, :, :, 0])
-        theirs = pack(stones[t, b, :, :, 1])
+        mine = int(mine64[t, b])
+        theirs = int(theirs64[t, b])
         mover = int(to_move[t, b])
         black, white = (mine, theirs) if mover == env.BLACK \
             else (theirs, mine)

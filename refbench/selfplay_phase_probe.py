@@ -31,7 +31,8 @@ from alphazero_reversi_tpu.pipeline import make_checkpoint_template
 
 
 def main() -> None:
-    cfg = Config.load("/root/repo/refbench/flagship_run/resume5_config.json")
+    # flagship operating point; the r4 run dir holds the live checkpoints
+    cfg = Config.load("/root/repo/runs_flagship/run_r4_gate/config.json")
     template = make_checkpoint_template(cfg)
     path = ckpt_lib.latest_checkpoint(cfg.training.checkpoint_dir)
     restored = ckpt_lib.restore_checkpoint(path, template)
@@ -62,18 +63,36 @@ def main() -> None:
             compat=cfg.env_compat,
             budget_s=cfg.self_play.exact_value_budget_s)
         t3 = time.perf_counter()
+        # r4 packed path: pack stones to u64 on device, fetch ~21 B/position
+        packed = selfplay_lib.pack_stone_boards(traj.planes)
+        mhi, mlo, thi, tlo, pto_move, pvalid, pvalue = jax.device_get(
+            (*packed, traj.to_move, traj.valid, traj.value))
+        t3b = time.perf_counter()
+        pvalue2, pstats = selfplay_lib.relabel_packed_np(
+            selfplay_lib._combine_u64_np(mhi, mlo),
+            selfplay_lib._combine_u64_np(thi, tlo),
+            pto_move, pvalid, pvalue,
+            max_empties=cfg.self_play.exact_value_empties,
+            compat=cfg.env_compat,
+            budget_s=cfg.self_play.exact_value_budget_s)
+        t3c = time.perf_counter()
+        assert np.array_equal(pvalue2, new_value), "packed path diverged"
         traj = traj._replace(value=jnp.asarray(new_value, jnp.float32))
         flat = selfplay_lib.flatten_trajectory(traj)
         buffer = replay_lib.add(buffer, *flat)
         _ = np.asarray(buffer.size)         # force insert completion
         t4 = time.perf_counter()
         mb = planes.nbytes / 1e6
+        pmb = sum(a.nbytes for a in (mhi, mlo, thi, tlo, pto_move,
+                                     pvalid, pvalue)) / 1e6
         print(f"rep{rep}: search+fetch_valid {t1-t0:.2f}s | "
               f"traj fetch ({mb:.0f}MB planes) {t2-t1:.2f}s | "
               f"relabel {t3-t2:.2f}s (solve {stats['seconds']:.2f}s, "
               f"{int(stats['unique_solves'])} solves) | "
-              f"writeback+flatten+insert {t4-t3:.2f}s | "
-              f"total {t4-t0:.2f}s", flush=True)
+              f"PACKED pack+fetch ({pmb:.1f}MB) {t3b-t3:.2f}s "
+              f"relabel {t3c-t3b:.2f}s | "
+              f"writeback+flatten+insert {t4-t3c:.2f}s | "
+              f"total(old-path) {t3-t0:.2f}s", flush=True)
 
 
 if __name__ == "__main__":

@@ -310,3 +310,64 @@ def test_relabel_exact_values(net_and_vars):
     # disabled threshold is the identity
     same = selfplay_lib.relabel_exact_values(traj, 0)
     assert same is traj
+
+
+def test_pack_stone_boards_matches_host_packbits():
+    """The device-side relabel packer (selfplay.pack_stone_boards) agrees
+    bit-for-bit with the host np.packbits convention on random boards, and
+    _popcount64_np counts correctly — so the packed relabel fetch sees the
+    same positions the old planes fetch did."""
+    from alphazero_reversi_tpu import selfplay as selfplay_lib
+
+    rng = np.random.default_rng(11)
+    boards = rng.random((5, 7, 8, 8, 3)) < 0.4  # fake planes, ch 0/1 stones
+    planes = boards.astype(np.float32)
+
+    mhi, mlo, thi, tlo = (np.asarray(a) for a in
+                          selfplay_lib.pack_stone_boards(jnp.asarray(planes)))
+    mine = selfplay_lib._combine_u64_np(mhi, mlo)
+    theirs = selfplay_lib._combine_u64_np(thi, tlo)
+
+    for t in range(5):
+        for b in range(7):
+            for arr, ch in ((mine, 0), (theirs, 1)):
+                bits = np.packbits(boards[t, b, :, :, ch].reshape(64),
+                                   bitorder="little")
+                want = int.from_bytes(bits.tobytes(), "little")
+                assert int(arr[t, b]) == want, (t, b, ch)
+            n = int(mine[t, b] | theirs[t, b])
+            assert int(selfplay_lib._popcount64_np(
+                np.asarray(mine[t, b] | theirs[t, b]))) \
+                == bin(n).count("1")
+
+
+def test_relabel_np_wrapper_matches_packed_core(net_and_vars):
+    """relabel_np (planes input) and relabel_packed_np (device-packed input)
+    produce identical values and stats on the same trajectory."""
+    from alphazero_reversi_tpu import selfplay as selfplay_lib
+
+    net, variables = net_and_vars
+    traj = selfplay_lib.play_games(
+        net, variables, jax.random.PRNGKey(9), num_games=3,
+        num_simulations=2, c_puct=1.0, dirichlet_alpha=0.3,
+        dirichlet_epsilon=0.25, temp_threshold=10, temp_init=1.0,
+        temp_final=0.1, max_depth=4, max_moves=60)
+
+    planes = np.asarray(traj.planes)
+    to_move = np.asarray(traj.to_move)
+    valid = np.asarray(traj.valid)
+    value = np.asarray(traj.value)
+
+    v_planes, s_planes = selfplay_lib.relabel_np(
+        planes, to_move, valid, value, max_empties=10)
+
+    mhi, mlo, thi, tlo = (np.asarray(a) for a in
+                          selfplay_lib.pack_stone_boards(traj.planes))
+    v_packed, s_packed = selfplay_lib.relabel_packed_np(
+        selfplay_lib._combine_u64_np(mhi, mlo),
+        selfplay_lib._combine_u64_np(thi, tlo),
+        to_move, valid, value, max_empties=10)
+
+    assert np.array_equal(v_planes, v_packed)
+    s_planes.pop("seconds"), s_packed.pop("seconds")
+    assert s_planes == s_packed
