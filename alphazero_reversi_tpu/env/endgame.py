@@ -15,16 +15,20 @@ game tree — not canonical Othello.
 Host-side tool: it runs on the CPU play path (``mcts.search.MCTS``, the
 analyze CLI), NOT inside jitted/batched device search.
 
-NOT thread-safe: the native transposition table is process-global and
-unsynchronized (ctypes releases the GIL during ``solver_solve``, so two
-Python threads CAN race it and tear entries into silently wrong values).
-Serialize solves across threads; multiple ``EndgameSolver`` instances in
-one thread are fine (entries are keyed by position and mode).
+Thread-safe (r4): the native transposition table is lockless with
+XOR-validated entries (a torn concurrent write reads as a miss, never a
+wrong value), so concurrent solves from multiple threads are safe and
+share the table. ``solve_wdl_batch`` exploits this: it fans a batch of
+positions out over a native ``std::thread`` pool (ctypes releases the GIL),
+which is how the exact-value relabel path parallelizes its ~12k WDL probes
+per flagship iteration across host cores (``selfplay.relabel_packed_np``).
 """
 from __future__ import annotations
 
 import ctypes
-from typing import NamedTuple, Optional
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
 
 from . import oracle as oracle_lib
 
@@ -63,6 +67,14 @@ def load_library() -> ctypes.CDLL:
         lib.solver_solve.restype = ctypes.c_int32
         lib.solver_clear.argtypes = []
         lib.solver_clear.restype = None
+        lib.solver_solve_batch.argtypes = [
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_double, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint64)]
+        lib.solver_solve_batch.restype = ctypes.c_int32
         _configured = True
     return lib
 
@@ -102,6 +114,42 @@ class EndgameSolver:
         meaningful as its sign."""
         return self.solve(black, white, to_move, alpha=-1, beta=1,
                           passed=passed)
+
+    def solve_wdl_batch(self, black: np.ndarray, white: np.ndarray,
+                        to_move: np.ndarray, *,
+                        budget_s: Optional[float] = None,
+                        num_threads: int = 0
+                        ) -> Tuple[np.ndarray, np.ndarray, int]:
+        """Win/draw/loss-probe a batch of positions on a native thread pool
+        (``num_threads`` 0 = all cores), sharing the lockless transposition
+        table. Positions are claimed in array order, so passing them
+        empties-ascending keeps the cheapest-first budget semantics: once
+        ``budget_s`` wall-clock seconds elapse, the rest stay unsolved.
+
+        Returns ``(values, solved, nodes)``: int32 fail-soft values (sign =
+        WDL, meaningful only where ``solved``), a bool solved mask, and the
+        total node count. Recorded self-play positions always have a legal
+        move for the mover (the env auto-passes), so no ``passed`` flag is
+        needed — terminal/pass roots are still handled natively.
+        """
+        black = np.ascontiguousarray(black, np.uint64)
+        white = np.ascontiguousarray(white, np.uint64)
+        to_move = np.ascontiguousarray(to_move, np.int32)
+        n = black.shape[0]
+        values = np.zeros(n, np.int32)
+        solved = np.zeros(n, np.uint8)
+        nodes = ctypes.c_uint64()
+        self._lib.solver_solve_batch(
+            n,
+            black.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            white.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            to_move.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            self.mode, -1, 1,
+            float(budget_s) if budget_s else 0.0, int(num_threads),
+            values.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            solved.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.byref(nodes))
+        return values, solved.astype(bool), int(nodes.value)
 
     def clear(self) -> None:
         """Clear the native transposition table (shared across instances)."""

@@ -18,14 +18,23 @@
 // [-64, +64].
 //
 // Exposed as a plain C ABI for ctypes (no pybind11 in this environment).
-// NOT thread-safe: the transposition table and node counter are shared
-// process-global state without synchronization, and ctypes releases the GIL
-// during solver_solve — concurrent calls from multiple Python threads could
-// tear TT entries and return silently wrong "exact" values. Callers must
-// serialize solves (env/endgame.py documents the same constraint).
+//
+// THREAD-SAFE (r4): the transposition table is lockless with XOR-validated
+// entries (Hyatt's scheme: `check = key ^ data` is stored alongside `data`;
+// a torn concurrent write fails validation and reads as a miss instead of a
+// silently wrong "exact" value), and the node counter is thread_local.
+// ctypes releases the GIL during solver calls, so `solver_solve_batch`
+// fans a pre-ordered batch of positions out over a std::thread pool — the
+// relabel path's ~12k WDL probes per flagship iteration parallelize across
+// host cores while still sharing one table (env/endgame.py binds it).
 #include <algorithm>
+#include <atomic>
+#include <chrono>
 #include <cstdint>
 #include <cstring>
+#include <mutex>
+#include <thread>
+#include <vector>
 
 #include "rules.h"
 
@@ -38,21 +47,43 @@ using namespace reversi;
 // fail-soft bounds on the exact value, so repeated probes with different
 // windows tighten rather than recompute. Keyed on (mine, theirs, mode) — the
 // mover-relative encoding already identifies color-swapped transpositions.
+//
+// Lockless layout: `data` packs (lo, hi, best, empties); `check` holds
+// key ^ data. A reader accepts an entry only when check ^ data == its key,
+// so any torn 2-word write is detected and treated as a miss (relaxed
+// atomics are sufficient — no ordering is needed beyond per-word atomicity).
 // ---------------------------------------------------------------------------
 struct TTEntry {
-  uint64_t key;   // 0 = empty slot
-  int16_t lo;     // proven value >= lo
-  int16_t hi;     // proven value <= hi
-  int8_t best;    // best/refuting move (square), -1 unknown
-  int8_t empties; // solve depth, for the replacement policy
+  std::atomic<uint64_t> check;  // key ^ data; 0 = empty slot
+  std::atomic<uint64_t> data;
 };
+
+// decoded entry, local to one probe
+struct TTView {
+  int lo, hi, best, empties;
+};
+
+inline uint64_t tt_pack(int lo, int hi, int best, int empties) {
+  return (static_cast<uint64_t>(static_cast<uint16_t>(lo))) |
+         (static_cast<uint64_t>(static_cast<uint16_t>(hi)) << 16) |
+         (static_cast<uint64_t>(static_cast<uint8_t>(best)) << 32) |
+         (static_cast<uint64_t>(static_cast<uint8_t>(empties)) << 40);
+}
+
+inline TTView tt_unpack(uint64_t d) {
+  return {static_cast<int16_t>(d & 0xFFFF),
+          static_cast<int16_t>((d >> 16) & 0xFFFF),
+          static_cast<int8_t>((d >> 32) & 0xFF),
+          static_cast<int8_t>((d >> 40) & 0xFF)};
+}
 
 constexpr int kTTLog2 = 20;  // 1M entries x 16 B = 16 MiB
 constexpr uint64_t kTTMask = (1ULL << kTTLog2) - 1;
 constexpr int kTTMinEmpties = 4;  // shallow nodes would churn the table
 
 TTEntry* g_tt = nullptr;
-uint64_t g_nodes = 0;
+thread_local uint64_t g_nodes = 0;
+std::once_flag g_init_once;
 
 inline uint64_t mix64(uint64_t x) {
   x ^= x >> 33;
@@ -100,13 +131,14 @@ constexpr uint64_t kQuadrant[4] = {
 int g_square_order[64];  // square indices, best static priority first
 
 void init_tables() {
-  if (g_tt != nullptr) return;
-  g_tt = new TTEntry[kTTMask + 1]();
-  for (int i = 0; i < 64; ++i) g_square_order[i] = i;
-  std::stable_sort(g_square_order, g_square_order + 64,
-                   [](int a, int b) {
-                     return kSquareWeight[a] > kSquareWeight[b];
-                   });
+  std::call_once(g_init_once, [] {
+    g_tt = new TTEntry[kTTMask + 1]();
+    for (int i = 0; i < 64; ++i) g_square_order[i] = i;
+    std::stable_sort(g_square_order, g_square_order + 64,
+                     [](int a, int b) {
+                       return kSquareWeight[a] > kSquareWeight[b];
+                     });
+  });
 }
 
 // ---------------------------------------------------------------------------
@@ -183,19 +215,27 @@ int solve(uint64_t mine, uint64_t theirs, int alpha, int beta, int mode,
   const int alpha0 = alpha;
 
   TTEntry* entry = nullptr;
+  bool hit = false;
+  TTView seen{-64, 64, -1, 0};
   int tt_best = -1;
   if (empties >= kTTMinEmpties) {
     uint64_t key = position_key(mine, theirs, mode);
     entry = &g_tt[key & kTTMask];
-    if (entry->key == key) {
-      if (entry->lo >= beta) return entry->lo;
-      if (entry->hi <= alpha) return entry->hi;
-      if (entry->lo == entry->hi) return entry->lo;
-      alpha = std::max(alpha, static_cast<int>(entry->lo));
-      beta = std::min(beta, static_cast<int>(entry->hi));
-      tt_best = entry->best;
-    } else if (entry->key != 0 && entry->empties > empties) {
-      entry = nullptr;  // keep the deeper entry; don't overwrite below
+    uint64_t check = entry->check.load(std::memory_order_relaxed);
+    uint64_t data = entry->data.load(std::memory_order_relaxed);
+    if (check != 0 && (check ^ data) == key) {
+      hit = true;
+      seen = tt_unpack(data);
+      if (seen.lo >= beta) return seen.lo;
+      if (seen.hi <= alpha) return seen.hi;
+      if (seen.lo == seen.hi) return seen.lo;
+      alpha = std::max(alpha, seen.lo);
+      beta = std::min(beta, seen.hi);
+      tt_best = seen.best;
+    } else if (check != 0 && tt_unpack(data).empties > empties) {
+      // a (validly decoded) deeper entry occupies the slot; keep it. A torn
+      // entry decodes to garbage here — worst case we skip one store.
+      entry = nullptr;
     }
   }
 
@@ -228,20 +268,20 @@ int solve(uint64_t mine, uint64_t theirs, int alpha, int beta, int mode,
 
   if (entry != nullptr) {
     uint64_t key = position_key(mine, theirs, mode);
-    if (entry->key != key) {
-      entry->key = key;
-      entry->lo = -64;
-      entry->hi = 64;
-    }
+    // read-modify-write on the local view; a concurrent update may be lost
+    // (acceptable — the table is a cache), but never torn (XOR validation)
+    int lo = hit ? seen.lo : -64;
+    int hi = hit ? seen.hi : 64;
     if (best >= beta) {
-      entry->lo = std::max(entry->lo, static_cast<int16_t>(best));
+      lo = std::max(lo, best);
     } else if (best <= alpha0) {
-      entry->hi = std::min(entry->hi, static_cast<int16_t>(best));
+      hi = std::min(hi, best);
     } else {
-      entry->lo = entry->hi = static_cast<int16_t>(best);
+      lo = hi = best;
     }
-    entry->best = static_cast<int8_t>(best_move);
-    entry->empties = static_cast<int8_t>(empties);
+    uint64_t data = tt_pack(lo, hi, best_move, empties);
+    entry->data.store(data, std::memory_order_relaxed);
+    entry->check.store(key ^ data, std::memory_order_relaxed);
   }
   return best;
 }
@@ -253,7 +293,10 @@ extern "C" {
 // Clear the transposition table (e.g. between benchmark repeats).
 void solver_clear(void) {
   init_tables();
-  std::memset(g_tt, 0, (kTTMask + 1) * sizeof(TTEntry));
+  for (uint64_t i = 0; i <= kTTMask; ++i) {
+    g_tt[i].check.store(0, std::memory_order_relaxed);
+    g_tt[i].data.store(0, std::memory_order_relaxed);
+  }
 }
 
 // Exact value of the position within [alpha, beta], from the perspective of
@@ -307,6 +350,81 @@ int32_t solver_solve(uint64_t black, uint64_t white, int32_t to_move,
   if (best_move != nullptr) *best_move = best;
   if (nodes != nullptr) *nodes = g_nodes;
   return value;
+}
+
+// Solve a batch of positions within [alpha, beta] on a pool of
+// `num_threads` host threads (0 = hardware concurrency), sharing the
+// lockless transposition table. Positions are claimed in caller order off
+// an atomic counter, so a caller that pre-sorts empties-ascending keeps the
+// cheapest-first budget semantics. Once `budget_s` wall-clock seconds
+// elapse (<= 0 = unlimited), remaining positions are left unsolved.
+//
+// `values[i]` receives the fail-soft value for solved positions;
+// `solved[i]` is 1/0. `nodes` (may be NULL) receives the summed node count.
+// Returns the number of positions solved. Used by the exact-value relabel
+// path (selfplay.relabel_packed_np): ~12k WDL probes per flagship
+// iteration fan out across cores instead of running serially.
+int32_t solver_solve_batch(int32_t n, const uint64_t* black,
+                           const uint64_t* white, const int32_t* to_move,
+                           int32_t mode, int32_t alpha, int32_t beta,
+                           double budget_s, int32_t num_threads,
+                           int32_t* values, uint8_t* solved,
+                           uint64_t* nodes) {
+  init_tables();
+  if (n <= 0) return 0;
+  int hw = static_cast<int>(std::thread::hardware_concurrency());
+  int nt = num_threads > 0 ? num_threads : (hw > 0 ? hw : 1);
+  nt = std::min(nt, n);
+
+  const int lo = std::max(alpha, -64), hi = std::min(beta, 64);
+  std::atomic<int32_t> next{0};
+  std::atomic<int32_t> n_solved{0};
+  std::atomic<uint64_t> total_nodes{0};
+  const auto t0 = std::chrono::steady_clock::now();
+
+  auto worker = [&] {
+    g_nodes = 0;
+    for (;;) {
+      int i = next.fetch_add(1, std::memory_order_relaxed);
+      if (i >= n) break;
+      if (budget_s > 0) {
+        std::chrono::duration<double> dt =
+            std::chrono::steady_clock::now() - t0;
+        if (dt.count() > budget_s) {
+          solved[i] = 0;
+          continue;
+        }
+      }
+      uint64_t mine = (to_move[i] == kBlack) ? black[i] : white[i];
+      uint64_t theirs = (to_move[i] == kBlack) ? white[i] : black[i];
+      uint64_t legal = legal_moves_bb(mine, theirs, mode);
+      int value;
+      if (legal == 0) {
+        if (legal_moves_bb(theirs, mine, mode) == 0) {
+          value = terminal_score(mine, theirs);
+        } else {
+          value = -solve(theirs, mine, -hi, -lo, mode, true);
+        }
+      } else {
+        value = solve(mine, theirs, lo, hi, mode, false);
+      }
+      values[i] = value;
+      solved[i] = 1;
+      n_solved.fetch_add(1, std::memory_order_relaxed);
+    }
+    total_nodes.fetch_add(g_nodes, std::memory_order_relaxed);
+  };
+
+  if (nt == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(nt);
+    for (int t = 0; t < nt; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+  if (nodes != nullptr) *nodes = total_nodes.load(std::memory_order_relaxed);
+  return n_solved.load(std::memory_order_relaxed);
 }
 
 }  // extern "C"

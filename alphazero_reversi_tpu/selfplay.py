@@ -426,13 +426,22 @@ def relabel_packed_np(mine64: np.ndarray, theirs64: np.ndarray,
                       to_move: np.ndarray, valid: np.ndarray,
                       value: np.ndarray, *, max_empties: int,
                       compat: bool = False,
-                      budget_s: Optional[float] = None
+                      budget_s: Optional[float] = None,
+                      num_threads: Optional[int] = None
                       ) -> Tuple[np.ndarray, Dict[str, float]]:
     """Host core of ``relabel_exact_values_with_stats`` over packed-bitboard
     numpy blocks (``mine64``/``theirs64``: uint64 ``[T, B]``, bit ``r*8+c``
     per square) — shared by the single-process path and the multi-controller
     path (``parallel.multihost``: each process relabels its OWN shard of the
-    games, so the solver work parallelizes across hosts)."""
+    games, so the solver work parallelizes across hosts).
+
+    Candidates are deduped (transpositions across games solve once) and the
+    unique positions go to the native parallel batch solver
+    (``EndgameSolver.solve_wdl_batch``) in empties-ascending order, so the
+    ``budget_s`` wall-clock bound still spends cheapest-first.
+    ``num_threads`` None = all host cores divided by ``jax.process_count()``
+    (multi-controller processes share the host CPUs).
+    """
     stats = {"candidates": 0, "solved": 0, "unique_solves": 0,
              "skipped": 0, "seconds": 0.0, "max_empties_solved": 0,
              "changed": 0}
@@ -450,35 +459,57 @@ def relabel_packed_np(mine64: np.ndarray, theirs64: np.ndarray,
 
     value = value.copy()
     solver = endgame_lib.EndgameSolver(compat=compat)
+    if num_threads is None:
+        num_threads = max(1, (os.cpu_count() or 1) // jax.process_count())
 
     ts, bs = np.nonzero(candidates)
     order = np.argsort(empties[ts, bs], kind="stable")
+    ts, bs = ts[order], bs[order]
     t0 = _time.perf_counter()
-    cache: Dict[Tuple[int, int, int], float] = {}
-    for i, (t, b) in enumerate(zip(ts[order], bs[order])):
-        if budget_s is not None and _time.perf_counter() - t0 > budget_s:
-            stats["skipped"] = len(order) - i
-            break
-        mine = int(mine64[t, b])
-        theirs = int(theirs64[t, b])
-        mover = int(to_move[t, b])
-        black, white = (mine, theirs) if mover == env.BLACK \
-            else (theirs, mine)
-        key = (black, white, mover)
-        exact = cache.get(key)
-        if exact is None:
-            # recorded positions always have a legal move for the mover (the
-            # env auto-passes, board.py:242-249 semantics), so passed=0
-            exact = float(np.sign(solver.solve_wdl(black, white,
-                                                   mover).value))
-            cache[key] = exact
-            stats["unique_solves"] += 1
-        stats["solved"] += 1
-        stats["max_empties_solved"] = max(stats["max_empties_solved"],
-                                          int(empties[t, b]))
-        if exact != value[t, b]:
-            stats["changed"] += 1
-        value[t, b] = exact
+
+    # positions always have the mover to act (the env auto-passes,
+    # board.py:242-249 semantics); map to absolute colors for the solver
+    mine = mine64[ts, bs]
+    theirs = theirs64[ts, bs]
+    mover = to_move[ts, bs].astype(np.int32)
+    is_black = mover == env.BLACK
+    black = np.where(is_black, mine, theirs)
+    white = np.where(is_black, theirs, mine)
+
+    # first-occurrence dedup that PRESERVES the empties-ascending order
+    # (np.unique would sort by key and break the cheapest-first budget)
+    cache: Dict[Tuple[int, int, int], int] = {}
+    uniq_of = np.empty(len(ts), np.int64)
+    for i, key in enumerate(zip(black.tolist(), white.tolist(),
+                                mover.tolist())):
+        j = cache.get(key)
+        if j is None:
+            j = cache[key] = len(cache)
+        uniq_of[i] = j
+    first = np.zeros(len(cache), np.int64)
+    seen = np.zeros(len(cache), bool)
+    for i in range(len(ts)):
+        j = uniq_of[i]
+        if not seen[j]:
+            seen[j] = True
+            first[j] = i
+
+    wdl, solved_u, _nodes = solver.solve_wdl_batch(
+        black[first], white[first], mover[first],
+        budget_s=budget_s, num_threads=num_threads)
+    exact_u = np.sign(wdl).astype(np.float32)
+
+    solved_c = solved_u[uniq_of]  # per-candidate: was my unique solved?
+    exact_c = exact_u[uniq_of]
+    stats["unique_solves"] = int(solved_u.sum())
+    stats["solved"] = int(solved_c.sum())
+    stats["skipped"] = int((~solved_c).sum())
+    if solved_c.any():
+        emp_c = empties[ts, bs]
+        stats["max_empties_solved"] = int(emp_c[solved_c].max())
+        old = value[ts[solved_c], bs[solved_c]]
+        stats["changed"] = int((exact_c[solved_c] != old).sum())
+        value[ts[solved_c], bs[solved_c]] = exact_c[solved_c]
     stats["seconds"] = _time.perf_counter() - t0
     return value, stats
 

@@ -312,6 +312,41 @@ def test_relabel_exact_values(net_and_vars):
     assert same is traj
 
 
+@pytest.mark.parametrize("mode", [oracle_lib.MODE_CORRECT,
+                                  oracle_lib.MODE_COMPAT])
+def test_solve_wdl_batch_matches_serial(mode):
+    """The native parallel batch solver (lockless shared TT, 4 threads)
+    returns the same WDL sign as serial solve_wdl for every position, run
+    twice (second run probes a TT warmed by concurrent writers)."""
+    positions = []
+    for seed in range(40):
+        b = random_endgame(6 + seed % 7, mode, 1000 + seed)
+        if b.game_over:
+            continue
+        positions.append((b.black, b.white, b.current_player))
+    assert len(positions) >= 25
+
+    solver = endgame.EndgameSolver(compat=(mode == oracle_lib.MODE_COMPAT))
+    solver.clear()
+    want = [int(np.sign(solver.solve_wdl(bl, wh, mv).value))
+            for bl, wh, mv in positions]
+
+    black = np.array([p[0] for p in positions], np.uint64)
+    white = np.array([p[1] for p in positions], np.uint64)
+    mover = np.array([p[2] for p in positions], np.int32)
+    for _ in range(2):
+        values, solved, nodes = solver.solve_wdl_batch(
+            black, white, mover, num_threads=4)
+        assert solved.all() and nodes > 0
+        assert np.array_equal(np.sign(values), want)
+
+    # budget 0/None solves everything; an absurdly tiny budget skips most
+    values, solved, _ = solver.solve_wdl_batch(
+        black, white, mover, budget_s=1e-9, num_threads=4)
+    assert np.array_equal(np.sign(values[solved]),
+                          np.asarray(want)[solved])
+
+
 def test_pack_stone_boards_matches_host_packbits():
     """The device-side relabel packer (selfplay.pack_stone_boards) agrees
     bit-for-bit with the host np.packbits convention on random boards, and
