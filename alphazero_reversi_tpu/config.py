@@ -194,6 +194,18 @@ class TrainingConfig:
     # multi-process pipelines (every process evolves the same due-ness, so
     # the skip cannot diverge across hosts).
     replay_checkpoint_interval: int = 1
+    # Run the checkpoint's device->host fetch burst on a background thread
+    # too (requires async_checkpointing): save_checkpoint captures device
+    # references (jax arrays are immutable and the pipeline only REBINDS
+    # state/buffer between iterations) and returns immediately; the worker
+    # fetches + schedules the orbax write while the next iteration's
+    # self-play runs. The pipeline joins the worker before anything that
+    # DONATES the referenced buffers (_train_epoch's scanned SGD) and
+    # before the next save/restore/exit, so the snapshot is consistent by
+    # construction. Single-controller only (multi-process saves keep the
+    # fetch synchronous: the post-save barrier is the cross-host ordering
+    # guarantee). Hides the ~2.6-3.5 s flagship state fetch (PERF.md r4).
+    background_checkpoint_fetch: bool = False
     # Relay-hang watchdog (hostfetch.py): abort any critical device->host
     # fetch (checkpoint state, replay snapshot, relabel/trajectory fetches)
     # that exceeds this many wall-clock seconds with a clean

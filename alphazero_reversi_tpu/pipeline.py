@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import math
 import os
+import threading
 import time
 from typing import Any, Dict, Optional
 
@@ -173,6 +174,12 @@ class AlphaZeroPipeline:
         # save" contract holds for any save_interval)
         self._replay_host = None
         self._saves_done = 0
+        # in-flight background checkpoint fetch+save worker
+        # (TrainingConfig.background_checkpoint_fetch); joined before
+        # anything that donates the captured buffers (_train_epoch), the
+        # next save, restores, and loop exit
+        self._bg_save: Optional[threading.Thread] = None
+        self._bg_save_error: Optional[BaseException] = None
         # non-primary processes log nothing and write nothing (file_output
         # gates the run dir, training.log, TB, config/model-graph snapshots)
         self.logger = logger or setup_logger(
@@ -206,7 +213,56 @@ class AlphaZeroPipeline:
             "rng": self.key,
         }
 
+    def _join_bg_save(self) -> None:
+        """Wait for the in-flight background checkpoint worker (if any) and
+        surface any error it hit (incl. FetchTimeoutError). Called before
+        anything that donates the buffers the worker captured — the scanned
+        SGD in ``_train_epoch`` — and before the next save/restore/exit."""
+        worker = self._bg_save
+        if worker is None:
+            return
+        worker.join()
+        self._bg_save = None
+        if self._bg_save_error is not None:
+            err, self._bg_save_error = self._bg_save_error, None
+            raise err
+
+    def _finish_save(self, tree: Dict[str, Any], due: bool, interval: int,
+                     timeout, use_async: bool, iteration: int) -> str:
+        """Single-controller fetch burst + orbax save (+ prune/log) — runs
+        inline on the main thread, or on the background worker when
+        ``TrainingConfig.background_checkpoint_fetch`` is on. Reads ONLY
+        the captured ``tree`` references (never ``self.buffer``/``state``,
+        which the main thread may rebind while the worker runs)."""
+        if interval > 1:
+            if due:
+                self._replay_host = hostfetch.device_get(
+                    tree["replay"], timeout, what="replay buffer fetch")
+            tree["replay"] = self._replay_host
+        path = ckpt_lib.save_checkpoint(
+            self.config.training.checkpoint_dir, iteration, tree,
+            primary_only=True, async_save=use_async,
+            fetch_timeout_s=timeout)
+        self.logger.info("checkpoint %s: %s (host fetch %.2fs)",
+                         "save scheduled (async)" if use_async
+                         else "saved", path,
+                         hostfetch.last_fetch_seconds)
+        if self.config.logging.save_best_only:
+            # keep only the latest full checkpoint + the best-model
+            # weights (LoggingConfig.save_best_only semantics — see
+            # checkpoint.prune_checkpoints). An in-flight async save is
+            # invisible here (orbax finalizes the it_NNNNNN name last),
+            # so this keeps the previous finalized checkpoint until the
+            # new one is durable — there is always >=1 complete
+            # checkpoint on disk; train() prunes once more after the
+            # final wait.
+            for old in ckpt_lib.prune_checkpoints(
+                    self.config.training.checkpoint_dir, keep_latest=1):
+                self.logger.info("pruned old checkpoint: %s", old)
+        return path
+
     def save_checkpoint(self, fresh_replay: bool = False) -> str:
+        self._join_bg_save()  # at most one worker in flight
         tree = self._checkpoint_tree()
         timeout = self.config.training.fetch_timeout_s or None
         # the replay buffer dominates the checkpoint fetch (~92 of ~95 MB
@@ -219,6 +275,31 @@ class AlphaZeroPipeline:
         interval = max(1, self.config.training.replay_checkpoint_interval)
         due = (interval == 1 or fresh_replay or self._replay_host is None
                or self._saves_done % interval == 0)
+        use_async = self.config.training.async_checkpointing
+        if (use_async and self.config.training.background_checkpoint_fetch
+                and not mh.is_multiprocess()):
+            # background fetch+save: capture the device references now (jax
+            # arrays are immutable; the pipeline only rebinds state/buffer)
+            # and let the worker overlap the fetch burst with the next
+            # iteration's self-play. _join_bg_save() runs before anything
+            # that DONATES the captured buffers (_train_epoch).
+            self._saves_done += 1
+            iteration = self.iteration
+            path = ckpt_lib.checkpoint_path(
+                self.config.training.checkpoint_dir, iteration)
+
+            def work():
+                try:
+                    self._finish_save(tree, due, interval, timeout,
+                                      True, iteration)
+                except BaseException as e:  # surfaced at the next join
+                    self._bg_save_error = e
+
+            worker = threading.Thread(target=work, daemon=True,
+                                      name=f"bgsave:{iteration}")
+            self._bg_save = worker
+            worker.start()
+            return path
         if mh.is_multiprocess():
             # replicated state -> host numpy on every process (cheap: the
             # all-gather is a no-op for replicated leaves), then ONE writer
@@ -235,11 +316,10 @@ class AlphaZeroPipeline:
                 if interval > 1:
                     self._replay_host = tree["replay"]
         else:
-            if interval > 1:
-                if due:
-                    self._replay_host = hostfetch.device_get(
-                        self.buffer, timeout, what="replay buffer fetch")
-                tree["replay"] = self._replay_host
+            # inline single-controller path: same worker body, main thread
+            self._saves_done += 1
+            return self._finish_save(tree, due, interval, timeout,
+                                     use_async, self.iteration)
         self._saves_done += 1
         path = ckpt_lib.checkpoint_path(
             self.config.training.checkpoint_dir, self.iteration)
@@ -249,7 +329,6 @@ class AlphaZeroPipeline:
         # the finalized-before-read guarantee moves to restore time
         # (load_checkpoint waits for in-flight saves on the primary and
         # barriers before anyone lists the directory)
-        use_async = self.config.training.async_checkpointing
         if self.is_primary:
             path = ckpt_lib.save_checkpoint(
                 self.config.training.checkpoint_dir, self.iteration, tree,
@@ -260,14 +339,8 @@ class AlphaZeroPipeline:
                              else "saved", path,
                              hostfetch.last_fetch_seconds)
             if self.config.logging.save_best_only:
-                # keep only the latest full checkpoint + the best-model
-                # weights (LoggingConfig.save_best_only semantics — see
-                # checkpoint.prune_checkpoints). An in-flight async save is
-                # invisible here (orbax finalizes the it_NNNNNN name last),
-                # so this keeps the previous finalized checkpoint until the
-                # new one is durable — there is always >=1 complete
-                # checkpoint on disk; train() prunes once more after the
-                # final wait.
+                # see _finish_save's prune note: the in-flight async save
+                # is invisible to prune until finalized
                 for old in ckpt_lib.prune_checkpoints(
                         self.config.training.checkpoint_dir, keep_latest=1):
                     self.logger.info("pruned old checkpoint: %s", old)
@@ -289,6 +362,7 @@ class AlphaZeroPipeline:
         hosts never need the checkpoint storage mounted at all, and the
         read can never race an async save or diverge on directory listings
         (the broadcast IS the synchronization)."""
+        self._join_bg_save()
         if mh.is_multiprocess():
             # host-numpy template: the primary restores WITHOUT any global
             # sharding in the abstract tree (a device template would make
@@ -463,6 +537,9 @@ class AlphaZeroPipeline:
         ``parallel.dp.make_dp_train_steps`` on a multi-device mesh) — which
         amortizes per-dispatch relay latency; the step budget rounds up to
         whole chunks."""
+        # the scanned SGD donates the learner state a background checkpoint
+        # worker may still be fetching — the join is the donation barrier
+        self._join_bg_save()
         cfg = self.config.training
         steps = max(1, math.ceil(num_positions / cfg.batch_size))
         chunk = max(1, int(cfg.steps_per_dispatch))
@@ -627,11 +704,20 @@ class AlphaZeroPipeline:
             # fresh_replay: an interrupt save must carry the live buffer
             # even mid replay_checkpoint_interval
             self.logger.warning("interrupted — saving checkpoint")
+            try:  # a failed background save must not block the rescue save
+                self._join_bg_save()
+            except BaseException as e:
+                self.logger.error("background checkpoint save failed: %s", e)
             self.save_checkpoint(fresh_replay=True)
             raise
         finally:
-            # finalize any in-flight async save, then prune the now-stale
-            # previous checkpoint the in-loop prune had to keep
+            # finalize any in-flight background fetch worker and async
+            # save, then prune the now-stale previous checkpoint the
+            # in-loop prune had to keep
+            try:
+                self._join_bg_save()
+            except BaseException as e:
+                self.logger.error("background checkpoint save failed: %s", e)
             ckpt_lib.wait_for_saves()
             if (self.is_primary and self.config.logging.save_checkpoints
                     and self.config.logging.save_best_only):

@@ -227,3 +227,60 @@ def test_num_games_drives_batch_count(tmp_path):
     n = pipe._generate_self_play_data()
     assert n == 4 * 6  # 2 batches x 2 games x 6 live slots
     assert int(pipe.buffer.size) == n
+
+
+def test_background_checkpoint_fetch_equivalence(tmp_path):
+    """TrainingConfig.background_checkpoint_fetch must not change the
+    training trajectory or the persisted artifact: two same-seed 2-iteration
+    runs (background on/off) log identical metrics (timings excluded), end
+    with bit-identical params, and the background run's final checkpoint
+    restores to exactly the live state (the worker's capture-then-fetch is
+    consistent under the join-before-donation discipline)."""
+    pipes = {}
+    for name, bg in (("sync", False), ("bg", True)):
+        cfg = tiny_config(tmp_path / name)
+        cfg.training.num_epochs = 2
+        cfg.training.background_checkpoint_fetch = bg
+        pipe = AlphaZeroPipeline(cfg, run_name=f"bgfetch_{name}")
+        pipe.train()
+        pipes[name] = (pipe, cfg)
+
+    sync, _ = pipes["sync"]
+    bg, bg_cfg = pipes["bg"]
+    assert len(sync.metrics_history) == len(bg.metrics_history) == 2
+    for ms, mb in zip(sync.metrics_history, bg.metrics_history):
+        for k in ms:
+            if k.endswith("seconds"):
+                continue
+            assert ms[k] == mb[k], k
+
+    a = jax.tree_util.tree_leaves(sync.learner.state.params)
+    b = jax.tree_util.tree_leaves(bg.learner.state.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    # the background run's persisted checkpoint is complete + restorable
+    fresh = AlphaZeroPipeline(bg_cfg, run_name="bgfetch_restore")
+    assert fresh.load_checkpoint()
+    assert fresh.iteration == 2
+    fa = jax.tree_util.tree_leaves(fresh.learner.state.params)
+    for x, y in zip(fa, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_background_save_error_surfaces(tmp_path, monkeypatch):
+    """A background worker failure (e.g. FetchTimeoutError on a hung relay)
+    surfaces at the next join point instead of being lost."""
+    cfg = tiny_config(tmp_path / "bge")
+    cfg.training.background_checkpoint_fetch = True
+    pipe = AlphaZeroPipeline(cfg, run_name="bgerr")
+
+    def boom(*a, **k):
+        raise RuntimeError("boom")
+
+    monkeypatch.setattr(pipe, "_finish_save", boom)
+    pipe.save_checkpoint()  # schedules the worker; returns immediately
+    with pytest.raises(RuntimeError, match="boom"):
+        pipe._join_bg_save()
+    # the error is consumed: the next join is clean
+    pipe._join_bg_save()
