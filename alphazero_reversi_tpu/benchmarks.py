@@ -490,6 +490,71 @@ def bench_solver(empties_list: Optional[List[int]] = None,
     return rows
 
 
+def bench_solver_batch(n_positions: int = 2048, empties: int = 12,
+                       threads_list: Optional[List[int]] = None,
+                       compat: bool = False) -> List[dict]:
+    """Parallel batch-solver throughput (``EndgameSolver.solve_wdl_batch``,
+    the exact-value relabel path's operating mode): WDL-probe
+    ``n_positions`` random positions at ``empties`` per thread count, cold
+    table each run. Reports positions/s and speedup vs 1 thread — the
+    flagship relabel solves ~12k uniques/iteration at <=12 empties."""
+    import os as _os
+    import random
+    import time
+
+    import numpy as np
+
+    from .env import endgame as endgame_lib
+    from .env import oracle as oracle_lib
+
+    mode = oracle_lib.MODE_COMPAT if compat else oracle_lib.MODE_CORRECT
+    blacks, whites, movers = [], [], []
+    i = 0
+    while len(blacks) < n_positions:
+        rng = random.Random(40000 + i)
+        i += 1
+        b = oracle_lib.OracleBoard(mode)
+        while (not b.game_over
+               and 64 - bin(b.black | b.white).count("1") > empties):
+            legal = b.legal_moves_bb()
+            if legal == 0:
+                b.step(oracle_lib.PASS_ACTION)
+                continue
+            b.step(rng.choice([s for s in range(64) if legal >> s & 1]))
+        if b.game_over or b.legal_moves_bb() == 0:
+            continue
+        blacks.append(b.black)
+        whites.append(b.white)
+        movers.append(b.current_player)
+    black = np.array(blacks, np.uint64)
+    white = np.array(whites, np.uint64)
+    mover = np.array(movers, np.int32)
+
+    solver = endgame_lib.EndgameSolver(compat=compat)
+    rows = []
+    base = None
+    for nt in (threads_list or [1, 2, 4, _os.cpu_count() or 4]):
+        solver.clear()  # cold table per run: no cross-run credit
+        t0 = time.perf_counter()
+        _values, solved, nodes = solver.solve_wdl_batch(
+            black, white, mover, num_threads=nt)
+        dt = time.perf_counter() - t0
+        assert solved.all()
+        if base is None:
+            base = dt
+        rows.append({
+            "empties": empties,
+            "mode": "compat" if compat else "correct",
+            "positions": int(n_positions),
+            "threads": int(nt),
+            "seconds": round(dt, 3),
+            "positions_per_s": int(n_positions / dt),
+            "nodes_per_s": int(nodes / dt),
+            "speedup_vs_1thread": round(base / dt, 2),
+        })
+    return rows
+
+
 # ---------------------------------------------------------------------------
 # CLI
 # ---------------------------------------------------------------------------
@@ -548,6 +613,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     so.add_argument("--wdl", action="store_true",
                     help="probe win/draw/loss only (match-play cost)")
 
+    sb = sub.add_parser("solver-batch",
+                        help="parallel batch WDL solves (relabel path)")
+    sb.add_argument("--positions", type=int, default=2048)
+    sb.add_argument("--empties", type=int, default=12)
+    sb.add_argument("--threads", type=int, nargs="+", default=None)
+    sb.add_argument("--compat", action="store_true")
+
     args = p.parse_args(argv)
     if args.command == "env":
         print(json.dumps(bench_env(args.batch, args.steps,
@@ -577,6 +649,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     elif args.command == "solver":
         for row in bench_solver(args.empties, args.positions,
                                 compat=args.compat, wdl=args.wdl):
+            print(json.dumps(row))
+    elif args.command == "solver-batch":
+        for row in bench_solver_batch(args.positions, args.empties,
+                                      args.threads, compat=args.compat):
             print(json.dumps(row))
     return 0
 

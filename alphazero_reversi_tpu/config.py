@@ -202,9 +202,15 @@ class TrainingConfig:
     # self-play runs. The pipeline joins the worker before anything that
     # DONATES the referenced buffers (_train_epoch's scanned SGD) and
     # before the next save/restore/exit, so the snapshot is consistent by
-    # construction. Single-controller only (multi-process saves keep the
-    # fetch synchronous: the post-save barrier is the cross-host ordering
-    # guarantee). Hides the ~2.6-3.5 s flagship state fetch (PERF.md r4).
+    # construction. Multi-process runs use it too: the primary's worker
+    # fetches via COLLECTIVE-FREE local-shard reads (every checkpoint leaf
+    # is replicated; multihost.fetch_replicated_local) so it cannot
+    # interleave with main-thread collectives, non-primaries schedule
+    # nothing, and the finalized-before-read guarantee lives at restore
+    # time (load_checkpoint waits + broadcasts) instead of a post-save
+    # barrier. Falls back to the synchronous path if any leaf is not
+    # replicated (metadata check, identical across processes). Hides the
+    # ~2.6-3.5 s flagship state fetch (PERF.md r4).
     background_checkpoint_fetch: bool = False
     # Relay-hang watchdog (hostfetch.py): abort any critical device->host
     # fetch (checkpoint state, replay snapshot, relabel/trajectory fetches)

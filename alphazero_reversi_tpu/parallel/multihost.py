@@ -69,6 +69,40 @@ def fetch_replicated(mesh: Mesh, tree: Any) -> Any:
     return jax.tree_util.tree_map(fetch, tree)
 
 
+def all_leaves_replicated(tree: Any) -> bool:
+    """True iff every jax.Array leaf is fully addressable or fully
+    replicated (its process-local shard holds the complete value) — the
+    precondition for the collective-free :func:`fetch_replicated_local`.
+    Metadata-only and identical on every process (shardings are built by
+    the same program), so gating on it cannot diverge across hosts."""
+    for x in jax.tree_util.tree_leaves(tree):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable \
+                and not x.sharding.is_fully_replicated:
+            return False
+    return True
+
+
+def fetch_replicated_local(tree: Any) -> Any:
+    """Collective-free host (numpy) copy of a pytree whose jax.Array
+    leaves are fully replicated: reads each leaf's process-LOCAL shard
+    copy (``addressable_shards[0]``) instead of all-gathering.
+
+    Unlike :func:`fetch_replicated` this performs NO cross-process
+    collective, which makes it safe to call from a background thread — it
+    cannot interleave with (and deadlock against) the main thread's
+    collectives. Used by the multi-process background checkpoint fetch
+    (pipeline.save_checkpoint); precondition checked by
+    :func:`all_leaves_replicated`.
+    """
+    def fetch(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            assert x.sharding.is_fully_replicated, x.sharding
+            return np.asarray(x.addressable_shards[0].data)
+        return np.asarray(x)
+
+    return jax.tree_util.tree_map(fetch, tree)
+
+
 def local_block(arr: jax.Array, axis: int) -> np.ndarray:
     """This process's contiguous block of a global array sharded along
     ``axis`` (replicated along every other axis), as numpy.

@@ -228,16 +228,31 @@ class AlphaZeroPipeline:
             raise err
 
     def _finish_save(self, tree: Dict[str, Any], due: bool, interval: int,
-                     timeout, use_async: bool, iteration: int) -> str:
-        """Single-controller fetch burst + orbax save (+ prune/log) — runs
-        inline on the main thread, or on the background worker when
+                     timeout, use_async: bool, iteration: int,
+                     local: bool = False) -> str:
+        """Fetch burst + orbax save (+ prune/log) — runs inline on the main
+        thread, or on the background worker when
         ``TrainingConfig.background_checkpoint_fetch`` is on. Reads ONLY
         the captured ``tree`` references (never ``self.buffer``/``state``,
-        which the main thread may rebind while the worker runs)."""
-        if interval > 1:
-            if due:
-                self._replay_host = hostfetch.device_get(
-                    tree["replay"], timeout, what="replay buffer fetch")
+        which the main thread may rebind while the worker runs).
+
+        ``local=True`` is the multi-process background mode: the tree is
+        host-fetched via the COLLECTIVE-FREE
+        ``multihost.fetch_replicated_local`` (each replicated leaf's local
+        shard copy), so this can run on the primary's worker thread without
+        interleaving with the main thread's collectives."""
+        tree = dict(tree)
+        if interval > 1 and not due:
+            tree["replay"] = self._replay_host
+        if local:
+            tree = hostfetch.guarded(
+                lambda: mh.fetch_replicated_local(tree), timeout,
+                what="checkpoint local fetch")
+            if interval > 1 and due:
+                self._replay_host = tree["replay"]
+        elif interval > 1 and due:
+            self._replay_host = hostfetch.device_get(
+                tree["replay"], timeout, what="replay buffer fetch")
             tree["replay"] = self._replay_host
         path = ckpt_lib.save_checkpoint(
             self.config.training.checkpoint_dir, iteration, tree,
@@ -273,25 +288,46 @@ class AlphaZeroPipeline:
         # only on state every process evolves identically, so the
         # multi-process branch below cannot diverge across hosts.
         interval = max(1, self.config.training.replay_checkpoint_interval)
-        due = (interval == 1 or fresh_replay or self._replay_host is None
+        # `due` must depend only on state every process evolves identically
+        # (_saves_done), never on per-process state like _replay_host — in
+        # multi-process background mode only the primary holds a snapshot,
+        # and a due-ness divergence would make processes issue DIFFERENT
+        # collectives in the synchronous fallback (deadlock)
+        due = (interval == 1 or fresh_replay or self._saves_done == 0
                or self._saves_done % interval == 0)
         use_async = self.config.training.async_checkpointing
-        if (use_async and self.config.training.background_checkpoint_fetch
-                and not mh.is_multiprocess()):
+        background = (use_async
+                      and self.config.training.background_checkpoint_fetch)
+        if background and mh.is_multiprocess() \
+                and not mh.all_leaves_replicated(tree):
+            # metadata-only check, identical on every process (same
+            # shardings) — the fallback decision cannot diverge
+            background = False
+        if background:
             # background fetch+save: capture the device references now (jax
             # arrays are immutable; the pipeline only rebinds state/buffer)
             # and let the worker overlap the fetch burst with the next
             # iteration's self-play. _join_bg_save() runs before anything
             # that DONATES the captured buffers (_train_epoch).
+            #
+            # Multi-process: the PRIMARY alone fetches (collective-free
+            # local-shard reads — the worker must never issue a collective
+            # that could interleave with the main thread's) and writes;
+            # non-primaries schedule nothing. No post-save barrier: with
+            # async saves the finalized-before-read guarantee already lives
+            # at restore time (load_checkpoint waits + broadcasts).
             self._saves_done += 1
             iteration = self.iteration
             path = ckpt_lib.checkpoint_path(
                 self.config.training.checkpoint_dir, iteration)
+            if not self.is_primary:
+                return path
+            local = mh.is_multiprocess()
 
             def work():
                 try:
                     self._finish_save(tree, due, interval, timeout,
-                                      True, iteration)
+                                      True, iteration, local=local)
                 except BaseException as e:  # surfaced at the next join
                     self._bg_save_error = e
 

@@ -55,6 +55,8 @@ cfg.self_play.exact_value_budget_s = 30.0
 cfg.training.batch_size = 16
 cfg.training.num_epochs = 2
 cfg.training.replay_capacity = 512
+# r4: primary-only background fetch+save (collective-free local reads)
+cfg.training.background_checkpoint_fetch = True
 cfg.tournament.rounds = 1
 cfg.tournament.num_simulations = 2
 cfg.tournament.games_per_pair = 2
