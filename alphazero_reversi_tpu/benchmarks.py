@@ -437,6 +437,26 @@ def profile_search(trace_dir: str = "/tmp/jax_trace", batch: int = 1024,
     return trace_dir
 
 
+def _random_endgame_board(empties: int, mode: int, seed: int):
+    """Play random legal moves until ``empties`` squares remain; returns
+    the OracleBoard (may be game_over if the line ended early). Shared by
+    the solver benchmarks so both sample the same position distribution."""
+    import random
+
+    from .env import oracle as oracle_lib
+
+    rng = random.Random(seed)
+    b = oracle_lib.OracleBoard(mode)
+    while (not b.game_over
+           and 64 - bin(b.black | b.white).count("1") > empties):
+        legal = b.legal_moves_bb()
+        if legal == 0:
+            b.step(oracle_lib.PASS_ACTION)
+            continue
+        b.step(rng.choice([s for s in range(64) if legal >> s & 1]))
+    return b
+
+
 def bench_solver(empties_list: Optional[List[int]] = None,
                  positions: int = 3, compat: bool = False,
                  wdl: bool = False) -> List[dict]:
@@ -444,7 +464,6 @@ def bench_solver(empties_list: Optional[List[int]] = None,
     a device benchmark): per empties-depth, average solve time, nodes, and
     nodes/s over ``positions`` random late-game positions. ``wdl`` probes
     the (-1, 1) window (the match-play cost) instead of a full solve."""
-    import random
     import time
 
     from .env import endgame as endgame_lib
@@ -456,15 +475,7 @@ def bench_solver(empties_list: Optional[List[int]] = None,
     for empties in (empties_list or [8, 12, 14, 16]):
         total_t = total_n = solved = 0
         for i in range(positions):
-            rng = random.Random(9000 + 31 * empties + i)
-            b = oracle_lib.OracleBoard(mode)
-            while (not b.game_over
-                   and 64 - bin(b.black | b.white).count("1") > empties):
-                legal = b.legal_moves_bb()
-                if legal == 0:
-                    b.step(oracle_lib.PASS_ACTION)
-                    continue
-                b.step(rng.choice([s for s in range(64) if legal >> s & 1]))
+            b = _random_endgame_board(empties, mode, 9000 + 31 * empties + i)
             if b.game_over:
                 continue
             solver.clear()  # cold solve: don't credit earlier repeats
@@ -499,7 +510,6 @@ def bench_solver_batch(n_positions: int = 2048, empties: int = 12,
     table each run. Reports positions/s and speedup vs 1 thread — the
     flagship relabel solves ~12k uniques/iteration at <=12 empties."""
     import os as _os
-    import random
     import time
 
     import numpy as np
@@ -511,16 +521,8 @@ def bench_solver_batch(n_positions: int = 2048, empties: int = 12,
     blacks, whites, movers = [], [], []
     i = 0
     while len(blacks) < n_positions:
-        rng = random.Random(40000 + i)
+        b = _random_endgame_board(empties, mode, 40000 + i)
         i += 1
-        b = oracle_lib.OracleBoard(mode)
-        while (not b.game_over
-               and 64 - bin(b.black | b.white).count("1") > empties):
-            legal = b.legal_moves_bb()
-            if legal == 0:
-                b.step(oracle_lib.PASS_ACTION)
-                continue
-            b.step(rng.choice([s for s in range(64) if legal >> s & 1]))
         if b.game_over or b.legal_moves_bb() == 0:
             continue
         blacks.append(b.black)
@@ -532,7 +534,6 @@ def bench_solver_batch(n_positions: int = 2048, empties: int = 12,
 
     solver = endgame_lib.EndgameSolver(compat=compat)
     rows = []
-    base = None
     for nt in (threads_list or [1, 2, 4, _os.cpu_count() or 4]):
         solver.clear()  # cold table per run: no cross-run credit
         t0 = time.perf_counter()
@@ -540,8 +541,6 @@ def bench_solver_batch(n_positions: int = 2048, empties: int = 12,
             black, white, mover, num_threads=nt)
         dt = time.perf_counter() - t0
         assert solved.all()
-        if base is None:
-            base = dt
         rows.append({
             "empties": empties,
             "mode": "compat" if compat else "correct",
@@ -550,8 +549,12 @@ def bench_solver_batch(n_positions: int = 2048, empties: int = 12,
             "seconds": round(dt, 3),
             "positions_per_s": int(n_positions / dt),
             "nodes_per_s": int(nodes / dt),
-            "speedup_vs_1thread": round(base / dt, 2),
         })
+    # speedup vs the actual 1-thread run (not the first listed thread count)
+    base = next((r["seconds"] for r in rows if r["threads"] == 1), None)
+    if base is not None:
+        for r in rows:
+            r["speedup_vs_1thread"] = round(base / r["seconds"], 2)
     return rows
 
 

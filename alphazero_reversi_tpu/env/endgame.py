@@ -124,7 +124,9 @@ class EndgameSolver:
         (``num_threads`` 0 = all cores), sharing the lockless transposition
         table. Positions are claimed in array order, so passing them
         empties-ascending keeps the cheapest-first budget semantics: once
-        ``budget_s`` wall-clock seconds elapse, the rest stay unsolved.
+        ``budget_s`` wall-clock seconds elapse, the rest stay unsolved
+        (``None`` = unlimited; ``0.0`` = deadline already passed, matching
+        the historical ``relabel_np`` budget-0 behavior).
 
         Returns ``(values, solved, nodes)``: int32 fail-soft values (sign =
         WDL, meaningful only where ``solved``), a bool solved mask, and the
@@ -145,7 +147,10 @@ class EndgameSolver:
             white.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
             to_move.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             self.mode, -1, 1,
-            float(budget_s) if budget_s else 0.0, int(num_threads),
+            # None = unlimited (native: negative). 0.0 keeps the historical
+            # relabel_np meaning: deadline already passed, solve ~nothing.
+            -1.0 if budget_s is None else float(budget_s),
+            int(num_threads),
             values.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             solved.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             ctypes.byref(nodes))

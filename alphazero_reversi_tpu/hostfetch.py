@@ -29,9 +29,17 @@ import jax
 
 _log = logging.getLogger(__name__)
 
-# wall-clock seconds of the most recent completed guarded fetch (for
-# callers that want to surface fetch durations in their own metrics)
-last_fetch_seconds: float = 0.0
+# per-THREAD record of the most recent completed guarded fetch duration:
+# the background checkpoint worker (pipeline.save_checkpoint) fetches
+# concurrently with main-thread relabel/trajectory fetches, and a shared
+# global would let one thread log the other's duration
+_tls = threading.local()
+
+
+def last_fetch_seconds() -> float:
+    """Wall-clock seconds of the most recent guarded fetch COMPLETED ON
+    THE CALLING THREAD (for surfacing fetch durations in metrics)."""
+    return getattr(_tls, "last", 0.0)
 
 
 class FetchTimeoutError(RuntimeError):
@@ -43,13 +51,12 @@ def guarded(fn: Callable[[], Any], timeout_s: Optional[float],
     """Run ``fn`` under a watchdog: raise :class:`FetchTimeoutError` if it
     has not returned within ``timeout_s`` seconds. ``timeout_s`` of None or
     <= 0 disables the watchdog (plain call). The completed duration is
-    recorded in ``last_fetch_seconds`` and logged."""
-    global last_fetch_seconds
+    recorded per-thread (``last_fetch_seconds()``) and logged."""
     t0 = time.perf_counter()
     if not timeout_s or timeout_s <= 0:
         out = fn()
-        last_fetch_seconds = time.perf_counter() - t0
-        _log.debug("%s: %.2f s", what, last_fetch_seconds)
+        _tls.last = time.perf_counter() - t0
+        _log.debug("%s: %.2f s", what, _tls.last)
         return out
 
     box: dict = {}
@@ -71,8 +78,8 @@ def guarded(fn: Callable[[], Any], timeout_s: Optional[float],
             "last finalized checkpoint")
     if "error" in box:
         raise box["error"]
-    last_fetch_seconds = time.perf_counter() - t0
-    _log.debug("%s: %.2f s", what, last_fetch_seconds)
+    _tls.last = time.perf_counter() - t0
+    _log.debug("%s: %.2f s", what, _tls.last)
     return box["value"]
 
 

@@ -357,7 +357,8 @@ int32_t solver_solve(uint64_t black, uint64_t white, int32_t to_move,
 // lockless transposition table. Positions are claimed in caller order off
 // an atomic counter, so a caller that pre-sorts empties-ascending keeps the
 // cheapest-first budget semantics. Once `budget_s` wall-clock seconds
-// elapse (<= 0 = unlimited), remaining positions are left unsolved.
+// elapse (negative = unlimited; 0 = deadline already passed, solve
+// nothing), remaining positions are left unsolved.
 //
 // `values[i]` receives the fail-soft value for solved positions;
 // `solved[i]` is 1/0. `nodes` (may be NULL) receives the summed node count.
@@ -387,7 +388,7 @@ int32_t solver_solve_batch(int32_t n, const uint64_t* black,
     for (;;) {
       int i = next.fetch_add(1, std::memory_order_relaxed);
       if (i >= n) break;
-      if (budget_s > 0) {
+      if (budget_s >= 0) {
         std::chrono::duration<double> dt =
             std::chrono::steady_clock::now() - t0;
         if (dt.count() > budget_s) {

@@ -261,7 +261,7 @@ class AlphaZeroPipeline:
         self.logger.info("checkpoint %s: %s (host fetch %.2fs)",
                          "save scheduled (async)" if use_async
                          else "saved", path,
-                         hostfetch.last_fetch_seconds)
+                         hostfetch.last_fetch_seconds())
         if self.config.logging.save_best_only:
             # keep only the latest full checkpoint + the best-model
             # weights (LoggingConfig.save_best_only semantics — see
@@ -373,7 +373,7 @@ class AlphaZeroPipeline:
             self.logger.info("checkpoint %s: %s (host fetch %.2fs)",
                              "save scheduled (async)" if use_async
                              else "saved", path,
-                             hostfetch.last_fetch_seconds)
+                             hostfetch.last_fetch_seconds())
             if self.config.logging.save_best_only:
                 # see _finish_save's prune note: the in-flight async save
                 # is invisible to prune until finalized

@@ -480,19 +480,15 @@ def relabel_packed_np(mine64: np.ndarray, theirs64: np.ndarray,
     # (np.unique would sort by key and break the cheapest-first budget)
     cache: Dict[Tuple[int, int, int], int] = {}
     uniq_of = np.empty(len(ts), np.int64)
+    first_idx = []
     for i, key in enumerate(zip(black.tolist(), white.tolist(),
                                 mover.tolist())):
         j = cache.get(key)
         if j is None:
             j = cache[key] = len(cache)
+            first_idx.append(i)
         uniq_of[i] = j
-    first = np.zeros(len(cache), np.int64)
-    seen = np.zeros(len(cache), bool)
-    for i in range(len(ts)):
-        j = uniq_of[i]
-        if not seen[j]:
-            seen[j] = True
-            first[j] = i
+    first = np.asarray(first_idx, np.int64)
 
     wdl, solved_u, _nodes = solver.solve_wdl_batch(
         black[first], white[first], mover[first],

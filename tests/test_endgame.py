@@ -340,7 +340,13 @@ def test_solve_wdl_batch_matches_serial(mode):
         assert solved.all() and nodes > 0
         assert np.array_equal(np.sign(values), want)
 
-    # budget 0/None solves everything; an absurdly tiny budget skips most
+    # None = unlimited; 0.0 = deadline already passed (the historical
+    # relabel_np budget-0 meaning): nothing gets solved
+    values, solved, _ = solver.solve_wdl_batch(
+        black, white, mover, budget_s=0.0, num_threads=4)
+    assert not solved.any()
+    # an absurdly tiny positive budget may solve a few; whatever it did
+    # solve must still be correct
     values, solved, _ = solver.solve_wdl_batch(
         black, white, mover, budget_s=1e-9, num_threads=4)
     assert np.array_equal(np.sign(values[solved]),

@@ -21,7 +21,7 @@ def test_device_get_returns_data_under_watchdog():
     x = jnp.arange(8.0)
     out = hostfetch.device_get({"x": x}, timeout_s=30.0)
     np.testing.assert_array_equal(out["x"], np.arange(8.0))
-    assert hostfetch.last_fetch_seconds >= 0.0
+    assert hostfetch.last_fetch_seconds() >= 0.0
 
 
 def test_guarded_raises_on_hang():
