@@ -59,25 +59,31 @@ def state_variables(it: int, cfg: Config, template: dict) -> dict:
 
 
 def main():
+    # optional argv: <it_a> <it_b> [out_name] — defaults to the original
+    # 120-vs-60 match; later legs reuse the same protocol
+    it_a = int(sys.argv[1]) if len(sys.argv) > 1 else 120
+    it_b = int(sys.argv[2]) if len(sys.argv) > 2 else 60
+    out_name = sys.argv[3] if len(sys.argv) > 3 else "flagship_r4_match2"
+
     cfg = Config.load(os.path.join(RUN, "config.json"))
     template = make_checkpoint_template(cfg)
     net = resnet.build_network(cfg.model)
     net_template = resnet.init_variables(net, jax.random.PRNGKey(0))
 
-    it120 = state_variables(120, cfg, template)
-    it60 = state_variables(60, cfg, template)
+    va = state_variables(it_a, cfg, template)
+    vb = state_variables(it_b, cfg, template)
 
     results = {"protocol": {
         "games_per_pairing": GAMES, "sims": SIMS, "temperature": TEMP,
         "searcher": "noise-free PUCT both sides (arena.play_pair), colors "
                     "split half/half",
         "run": RUN,
-        "arms": "training state at it_000060 and it_000120"}}
+        "arms": f"training state at it_{it_b:06d} and it_{it_a:06d}"}}
 
     base = jax.random.PRNGKey(time.time_ns() % (2 ** 31))
     pairings = [
-        ("it120_vs_it60", it120, it60, False),
-        ("it120_vs_random", it120, None, True),
+        (f"it{it_a}_vs_it{it_b}", va, vb, False),
+        (f"it{it_a}_vs_random", va, None, True),
     ]
     for i, (name, va, vb, b_random) in enumerate(pairings):
         t0 = time.time()
@@ -91,7 +97,7 @@ def main():
         results[name] = rec
         print(name, json.dumps(rec), flush=True)
 
-    out = os.path.join(HERE, "flagship_r4_match2.json")
+    out = os.path.join(HERE, f"{out_name}.json")
     with open(out, "w") as f:
         json.dump(results, f, indent=2)
     print(f"wrote {out}")
