@@ -579,25 +579,35 @@ class AlphaZeroPipeline:
         cfg = self.config.training
         steps = max(1, math.ceil(num_positions / cfg.batch_size))
         chunk = max(1, int(cfg.steps_per_dispatch))
-        agg: Dict[str, float] = {}
+        # metrics accumulate ON DEVICE and come back in ONE fetch at the
+        # end: a per-chunk float() would serialize the dispatch loop on
+        # ~0.1 s relay round-trips each (the probe shows the 480-step SGD
+        # itself is ~0.33 s with dispatches left free to pipeline —
+        # refbench/sgd_chunk_probe.py, PERF.md r4)
+        acc = None
+
+        def accumulate(aux):
+            nonlocal acc
+            acc = aux if acc is None else jax.tree_util.tree_map(
+                jnp.add, acc, aux)
+
         if chunk > 1:
             n_chunks = math.ceil(steps / chunk)
             steps = n_chunks * chunk
             for _ in range(n_chunks):
                 self.key, k = jax.random.split(self.key)
-                aux = self.learner.steps(self.buffer, k, chunk,
-                                         cfg.batch_size)
-                for kk, v in aux.items():
-                    agg[kk] = agg.get(kk, 0.0) + float(v)
-            return ({k: v / n_chunks for k, v in agg.items()}
+                accumulate(self.learner.steps(self.buffer, k, chunk,
+                                              cfg.batch_size))
+            host = jax.device_get(acc)
+            return ({k: float(v) / n_chunks for k, v in host.items()}
                     | {"steps": steps})
         for _ in range(steps):
             self.key, sample_key, dropout_key = jax.random.split(self.key, 3)
             batch = replay_lib.sample(self.buffer, sample_key, cfg.batch_size)
-            aux = self.learner.step(*batch, dropout_rng=dropout_key)
-            for k, v in aux.items():
-                agg[k] = agg.get(k, 0.0) + float(v)
-        return {k: v / steps for k, v in agg.items()} | {"steps": steps}
+            accumulate(self.learner.step(*batch, dropout_rng=dropout_key))
+        host = jax.device_get(acc)
+        return {k: float(v) / steps for k, v in host.items()} \
+            | {"steps": steps}
 
     def _evaluate_model(self) -> Dict[str, float]:
         """Fresh tournament: current vs best vs random
