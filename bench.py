@@ -150,6 +150,44 @@ def bench_gumbel_flagship(batch: int = 1024, sims: int = 32,
     return row["moves_per_s"]
 
 
+def bench_flagship_iteration(iters: int = 3) -> float:
+    """End-to-end flagship TRAINING iteration wall seconds (the number the
+    round-4 pipeline work drove ~15 s -> ~7-9 s): run ``iters`` iterations
+    of the real pipeline (configs/flagship_run.json operating point — 1024
+    games Gumbel-32 self-play, exact-value relabel, 480-step scanned SGD,
+    batched eval, background checkpoint save) from a fresh init in temp
+    dirs, and report the FASTEST full iteration (first is
+    compile-dominated). Includes every phase: self-play, relabel, SGD,
+    eval, checkpoint schedule, logging."""
+    import os
+    import tempfile
+
+    from alphazero_reversi_tpu.config import Config
+    from alphazero_reversi_tpu.pipeline import AlphaZeroPipeline
+
+    cfg = Config.load(os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "configs", "flagship_run.json"))
+    best = float("inf")
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg.training.checkpoint_dir = os.path.join(tmp, "ckpt")
+        cfg.training.num_epochs = iters
+        cfg.self_play.save_dir = os.path.join(tmp, "sp")
+        cfg.self_play.save_every = 0
+        cfg.logging.log_dir = os.path.join(tmp, "logs")
+        cfg.logging.use_tensorboard = False
+        cfg.logging.verbose = False
+        pipe = AlphaZeroPipeline(cfg, run_name="bench_iter")
+        for k in range(1, iters + 1):
+            t0 = time.perf_counter()
+            pipe.train(num_iterations=k)  # runs exactly one more iteration
+            dt = time.perf_counter() - t0
+            print(f"flagship iteration {k}: {dt:.2f} s"
+                  + (" (compile)" if k == 1 else ""), file=sys.stderr)
+            if k > 1:
+                best = min(best, dt)
+    return best
+
+
 def _start_watchdog(budget_s: float, what: str):
     """Hard-exit if the device stops responding: the axon relay can die
     (observed 2026-08-17 — jax calls then block forever in C++ land where
@@ -199,6 +237,8 @@ def main() -> int:
     gumbel_flag = bench_gumbel_flagship()
     print(f"gumbel flagship sustained (5x128 net, 32 sims): "
           f"{gumbel_flag:.0f} moves/s", file=sys.stderr)
+    iter_s = bench_flagship_iteration()
+    print(f"flagship end-to-end iteration: {iter_s:.2f} s", file=sys.stderr)
     print(json.dumps({
         "metric": "env_steps_per_s",
         "value": round(value, 1),
@@ -216,6 +256,9 @@ def main() -> int:
             "5x128 bf16 net, 32 sims, leaf_batch 1",
         "gumbel_flagship_vs_baseline": round(gumbel_flag / MCTS_NORTH_STAR,
                                              4),
+        # end-to-end training iteration at the flagship operating point
+        # (every phase incl. checkpoint; r3 ~15 s -> r4, PERF.md)
+        "flagship_iteration_s": round(iter_s, 2),
     }))
     return 0
 
