@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import os
 import re
+import threading
 from typing import Any, Dict, Optional
 
 import jax
@@ -39,6 +40,13 @@ _STEP_RE = re.compile(r"^it_(\d+)$")
 # The instances must outlive the ``save_checkpoint`` call for the write
 # thread to finish, hence this module-level cache (see ``wait_for_saves``).
 _LIVE: Dict[bool, ocp.StandardCheckpointer] = {}
+
+# Serializes checkpointer creation and the (quick) save-scheduling critical
+# section: with the pipeline's background checkpoint fetch, a promotion's
+# save_best on the main thread can race the worker thread's save_checkpoint
+# on the SAME orbax checkpointer — AsyncCheckpointer's schedule path is not
+# thread-safe. The disk write itself still overlaps on orbax's own thread.
+_SAVE_LOCK = threading.Lock()
 
 
 def _checkpointer(primary_only: bool = False) -> ocp.StandardCheckpointer:
@@ -121,9 +129,11 @@ def save_checkpoint(ckpt_dir: str, iteration: int, tree: Dict[str, Any],
     never see a partial write.
     """
     path = checkpoint_path(ckpt_dir, iteration)
-    ckptr = _checkpointer(primary_only=primary_only)
-    ckptr.wait_until_finished()
-    ckptr.save(path, _to_host(tree, fetch_timeout_s), force=True)
+    host_tree = _to_host(tree, fetch_timeout_s)
+    with _SAVE_LOCK:
+        ckptr = _checkpointer(primary_only=primary_only)
+        ckptr.wait_until_finished()
+        ckptr.save(path, host_tree, force=True)
     if not async_save:
         ckptr.wait_until_finished()
     return path
@@ -180,9 +190,11 @@ def save_best(ckpt_dir: str, variables: Dict[str, Any],
     """Weights-only best model (``best_model.pth`` analog,
     pipeline.py:483-486). ``async_save`` as in :func:`save_checkpoint`."""
     path = os.path.join(os.path.abspath(ckpt_dir), "best_model")
-    ckptr = _checkpointer(primary_only=primary_only)
-    ckptr.wait_until_finished()
-    ckptr.save(path, _to_host(variables, fetch_timeout_s), force=True)
+    host_vars = _to_host(variables, fetch_timeout_s)
+    with _SAVE_LOCK:
+        ckptr = _checkpointer(primary_only=primary_only)
+        ckptr.wait_until_finished()
+        ckptr.save(path, host_vars, force=True)
     if not async_save:
         ckptr.wait_until_finished()
     return path
