@@ -275,7 +275,12 @@ class MeshConfig:
     remaining devices"."""
 
     data_axis: int = -1  # self-play games / train batch sharded here
-    model_axis: int = 1  # tensor-parallel axis for the net (1 = replicated)
+    # model_axis is reserved for tensor parallelism, which is structurally
+    # n/a for the flagship 8x8 convnet (~0.7M params; scaling rides the
+    # data axis). No program shards over it, so parallel.mesh.make_mesh
+    # WARNS on model_axis > 1: the replicas would silently duplicate all
+    # work and waste (model_axis-1)/model_axis of those devices.
+    model_axis: int = 1
 
 
 @dataclass

@@ -36,10 +36,13 @@ def test_local_block_with_model_axis_replicas():
     model-axis device, so addressable_shards carry duplicate indices —
     local_block must dedup them BEFORE its contiguity check (a regression
     here raised 'shards not contiguous' on any model-parallel mesh)."""
+    import pytest
+
     n = len(jax.devices())
     if n % 2:
         return  # needs an even device count for a data x model=2 mesh
-    mesh = mesh_lib.make_mesh(MeshConfig(data_axis=n // 2, model_axis=2))
+    with pytest.warns(UserWarning, match="model_axis"):
+        mesh = mesh_lib.make_mesh(MeshConfig(data_axis=n // 2, model_axis=2))
     d = mesh.shape[mesh_lib.DATA_AXIS]
     x = jnp.arange(3 * 2 * d * 2, dtype=jnp.float32).reshape(3, 2 * d, 2)
     sharded = mh.canonical_tb_sharding(mesh, x)
