@@ -85,6 +85,8 @@ def cmd_train(args) -> int:
 def cmd_tournament(args) -> int:
     """Round-robin over discovered checkpoints + random baseline
     (run_tournament.py:34-163)."""
+    from .parallel import mesh as mesh_lib
+
     config = _load_config(args.config)
     net = resnet.build_network(config.model)
     template = resnet.init_variables(net, jax.random.PRNGKey(0))
@@ -92,7 +94,10 @@ def cmd_tournament(args) -> int:
     from .pipeline import make_checkpoint_template
     full_template = make_checkpoint_template(config)
 
-    ar = Arena(net, config.tournament, compat=config.env_compat)
+    # multi-device hosts shard each match's game batch over the config
+    # mesh (arena.play_pair mesh); a 1-device mesh collapses to unsharded
+    ar = Arena(net, config.tournament, compat=config.env_compat,
+               mesh=mesh_lib.make_mesh(config.mesh))
     found: List[str] = []
     for pattern in ("it_*", "best_model"):
         found.extend(sorted(glob.glob(os.path.join(args.model_dir,

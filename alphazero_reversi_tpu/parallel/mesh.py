@@ -77,6 +77,20 @@ def make_mesh(cfg: Optional[MeshConfig] = None,
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
+def local_mesh() -> Mesh:
+    """A ``(data, model=1)`` mesh over THIS PROCESS's local devices only.
+
+    Used for process-local computations in a multi-controller run that
+    should still use every local chip — e.g. each process's shard of the
+    evaluation tournament (``pipeline._evaluate_model``): the work unit is
+    process-owned, but its game batch shards over the process's full local
+    submesh instead of idling all but the default device.
+    """
+    devices = jax.local_devices()
+    arr = np.asarray(devices).reshape(len(devices), 1)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
 def data_sharding(mesh: Mesh) -> NamedSharding:
     """Sharding for a batch-leading array: split dim 0 over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))
