@@ -156,6 +156,17 @@ class TrainingConfig:
     policy_loss: str = "soft"
     replay_capacity: int = 200_000  # device-resident replay buffer positions
     train_on_latest_only: bool = False  # True = reference behavior (no replay)
+    # Shard the replay buffer over the mesh's data axis instead of
+    # replicating it (parallel.replay_sharded): each shard ring-inserts its
+    # OWN games' positions (zero-communication insert — the replicated
+    # design all-gathers the trajectory every iteration at pod scale) and
+    # holds 1/d of the buffer's HBM; the scanned DP SGD samples each
+    # shard's block from its local pool. Checkpoints store the canonical
+    # scalar-cursor layout, so they restore across topologies and modes.
+    # capacity rounds UP to a multiple of the data axis. No effect on
+    # single-device meshes. Off by default (the replicated buffer remains
+    # bit-exactly reference-matched for sampling).
+    shard_replay_buffer: bool = False
     # SGD steps fused into ONE compiled dispatch (learner.train_steps): the
     # scan samples each batch from the device-resident replay buffer inside
     # the program, so K steps pay one host round-trip instead of K. >1

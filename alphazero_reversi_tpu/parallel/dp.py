@@ -133,7 +133,8 @@ def make_dp_train_steps(net, tx: optax.GradientTransformation, mesh: Mesh, *,
                         policy_loss: str = "soft",
                         policy_weight: float = 1.0,
                         value_weight: float = 1.0,
-                        augment_symmetries: bool = False):
+                        augment_symmetries: bool = False,
+                        sharded_buffer: bool = False):
     """``num_steps`` DP SGD steps in ONE compiled program (the mesh analog
     of ``learner.train_steps`` — VERDICT r3 item 1): a ``shard_map``'d
     ``lax.scan`` whose body samples a fresh global batch from the
@@ -150,7 +151,13 @@ def make_dp_train_steps(net, tx: optax.GradientTransformation, mesh: Mesh, *,
     exact, not stale.
 
     Returned signature: ``(state, buffer, key) -> (state, aux)`` with
-    ``state``/``buffer`` replicated; ``aux`` is the step-MEAN metrics.
+    ``state`` replicated; ``aux`` is the step-MEAN metrics. ``buffer`` is
+    replicated by default; with ``sharded_buffer=True`` it is the
+    data-axis-sharded layout (``parallel.replay_sharded``) and each shard
+    draws the SAME global index vector against its LOCAL block — identical
+    derivation, so identical shard contents give bit-identical training
+    (tested); distinct shard contents sample uniformly within each shard's
+    pool.
     """
     d = mesh.shape[mesh_lib.DATA_AXIS]
     if batch_size % d:
@@ -164,9 +171,12 @@ def make_dp_train_steps(net, tx: optax.GradientTransformation, mesh: Mesh, *,
         def body(state, k):
             ks, kd = jax.random.split(k)
             # replay.sample's exact index derivation, computed identically
-            # on every shard; this shard keeps its contiguous block
+            # on every shard; this shard keeps its contiguous block.
+            # sharded_buffer: buffer.size is the local [1] slice, and the
+            # kept indices address the local block directly
+            pool = (buffer.size[0] if sharded_buffer else buffer.size)
             idx = jax.random.randint(ks, (batch_size,), 0,
-                                     jnp.maximum(buffer.size, 1))
+                                     jnp.maximum(pool, 1))
             local_idx = jax.lax.dynamic_slice_in_dim(
                 idx, shard * per_shard, per_shard)
             planes = buffer.planes[local_idx].astype(jnp.float32)
@@ -182,9 +192,14 @@ def make_dp_train_steps(net, tx: optax.GradientTransformation, mesh: Mesh, *,
         state, auxs = jax.lax.scan(body, state, keys)
         return state, jax.tree_util.tree_map(lambda x: x.mean(axis=0), auxs)
 
+    if sharded_buffer:
+        from . import replay_sharded
+        buf_spec = replay_sharded._buffer_specs()
+    else:
+        buf_spec = P()
     shmapped = jax.shard_map(
         local_steps, mesh=mesh,
-        in_specs=(P(), P(), P()),
+        in_specs=(P(), buf_spec, P()),
         out_specs=(P(), P()),
         check_vma=False)
     return jax.jit(shmapped, donate_argnums=(0,))
@@ -236,15 +251,21 @@ class DPTrainer:
     def steps(self, buffer, key: jax.Array, num_steps: int,
               batch_size: int) -> Dict[str, jax.Array]:
         """``num_steps`` scanned DP SGD steps in one dispatch
-        (``make_dp_train_steps``), sampling from the replicated ``buffer``
-        inside the program — same surface as ``learner.Learner.steps``."""
-        sig = (int(num_steps), int(batch_size))
+        (``make_dp_train_steps``), sampling from the ``buffer`` inside the
+        program — same surface as ``learner.Learner.steps``. The buffer's
+        layout (replicated vs data-axis-sharded,
+        ``parallel.replay_sharded``) is detected from its cursor shape."""
+        from . import replay_sharded
+
+        sharded = replay_sharded.is_sharded(buffer)
+        sig = (int(num_steps), int(batch_size), sharded)
         if sig not in self._steps_fns:
             self._steps_fns[sig] = make_dp_train_steps(
                 self.net, self.tx, self.mesh, num_steps=sig[0],
                 batch_size=sig[1], policy_loss=self.cfg.policy_loss,
                 policy_weight=self.cfg.policy_loss_weight,
                 value_weight=self.cfg.value_loss_weight,
-                augment_symmetries=self.cfg.augment_symmetries)
+                augment_symmetries=self.cfg.augment_symmetries,
+                sharded_buffer=sharded)
         self.state, aux = self._steps_fns[sig](self.state, buffer, key)
         return aux

@@ -49,6 +49,7 @@ from .models import resnet
 from .parallel import dp as dp_lib
 from .parallel import mesh as mesh_lib
 from .parallel import multihost as mh
+from .parallel import replay_sharded as rs_lib
 
 
 def make_checkpoint_template(config: Config) -> Dict[str, Any]:
@@ -115,14 +116,33 @@ class AlphaZeroPipeline:
         else:
             self.learner = learner_lib.Learner(self.net, variables,
                                                config.training)
-        self.buffer = replay_lib.create(config.training.replay_capacity,
+        # data-axis-sharded replay buffer (TrainingConfig.
+        # shard_replay_buffer): shard-local inserts + 1/d HBM per device;
+        # meaningless on a 1-device mesh
+        self.shard_replay = (config.training.shard_replay_buffer
+                             and self.num_devices > 1)
+        if self.shard_replay:
+            d = self.mesh.shape[mesh_lib.DATA_AXIS]
+            rc = rs_lib.rounded_capacity(config.training.replay_capacity, d)
+            if rc != config.training.replay_capacity:
+                deferred_logs.append(
+                    f"replay_capacity rounded "
+                    f"{config.training.replay_capacity} -> {rc} to divide "
+                    f"the {d}-way data axis (sharded replay)")
+                config.training.replay_capacity = rc
+            self.buffer = rs_lib.create(self.mesh, rc,
                                         board_size=config.model.board_size)
-        if mh.is_multiprocess():
-            # pin the buffer fully-replicated so replay insert/sample are
-            # well-defined global computations and the checkpoint tree is
-            # host-fetchable on the primary
-            self.buffer = mesh_lib.replicate(
-                self.mesh, jax.tree_util.tree_map(np.asarray, self.buffer))
+        else:
+            self.buffer = replay_lib.create(
+                config.training.replay_capacity,
+                board_size=config.model.board_size)
+            if mh.is_multiprocess():
+                # pin the buffer fully-replicated so replay insert/sample
+                # are well-defined global computations and the checkpoint
+                # tree is host-fetchable on the primary
+                self.buffer = mesh_lib.replicate(
+                    self.mesh,
+                    jax.tree_util.tree_map(np.asarray, self.buffer))
         self.selfplay = selfplay_lib.SelfPlay(
             self.net, variables, config.mcts, config.self_play,
             compat=config.env_compat)
@@ -213,6 +233,18 @@ class AlphaZeroPipeline:
             "rng": self.key,
         }
 
+    def _restore_template(self) -> Dict[str, Any]:
+        """Shapes/dtypes of what checkpoints STORE: like the live tree,
+        except the replay buffer is always the canonical scalar-cursor
+        layout (sharded-mode saves canonicalize before writing)."""
+        tree = self._checkpoint_tree()
+        if self.shard_replay:
+            tree = dict(tree)
+            tree["replay"] = replay_lib.create(
+                self.config.training.replay_capacity,
+                board_size=self.config.model.board_size)
+        return tree
+
     def _join_bg_save(self) -> None:
         """Wait for the in-flight background checkpoint worker (if any) and
         surface any error it hit (incl. FetchTimeoutError). Called before
@@ -250,10 +282,17 @@ class AlphaZeroPipeline:
                 what="checkpoint local fetch")
             if interval > 1 and due:
                 self._replay_host = tree["replay"]
-        elif interval > 1 and due:
-            self._replay_host = hostfetch.device_get(
+        elif due and (interval > 1 or self.shard_replay):
+            # sharded replay always pre-fetches here so the checkpoint can
+            # store the CANONICAL scalar-cursor layout (portable across
+            # topologies/modes); the fetch cost is the same burst the orbax
+            # save would have paid
+            host_replay = hostfetch.device_get(
                 tree["replay"], timeout, what="replay buffer fetch")
-            tree["replay"] = self._replay_host
+            if self.shard_replay:
+                host_replay = rs_lib.canonicalize_host(host_replay)
+            self._replay_host = host_replay
+            tree["replay"] = host_replay
         path = ckpt_lib.save_checkpoint(
             self.config.training.checkpoint_dir, iteration, tree,
             primary_only=True, async_save=use_async,
@@ -349,6 +388,12 @@ class AlphaZeroPipeline:
                 tree = hostfetch.guarded(
                     lambda: mh.fetch_replicated(self.mesh, tree), timeout,
                     what="replicated checkpoint fetch")
+                if self.shard_replay:
+                    # the gather above is the design's one buffer
+                    # collective ("gather only at checkpoint time");
+                    # canonicalize for the portable checkpoint layout
+                    tree["replay"] = rs_lib.canonicalize_host(
+                        tree["replay"])
                 if interval > 1:
                     self._replay_host = tree["replay"]
         else:
@@ -407,7 +452,7 @@ class AlphaZeroPipeline:
             # structure donor for the broadcast
             host_template = jax.tree_util.tree_map(
                 lambda x: np.zeros(x.shape, x.dtype),
-                self._checkpoint_tree())
+                self._restore_template())
             tree_host = None
             if self.is_primary:
                 p = path if path is not None else ckpt_lib.latest_checkpoint(
@@ -431,7 +476,7 @@ class AlphaZeroPipeline:
             if path is None:
                 return False
             restored = ckpt_lib.restore_checkpoint(path,
-                                                   self._checkpoint_tree())
+                                                   self._restore_template())
         state = learner_lib.TrainState(*restored["state"]) \
             if not isinstance(restored["state"], learner_lib.TrainState) \
             else restored["state"]
@@ -442,10 +487,16 @@ class AlphaZeroPipeline:
         key = restored["rng"]
         if mh.is_multiprocess():
             # re-pin everything fully-replicated over the global mesh (the
-            # restored leaves may be host- or process-local)
-            state, best_variables, buffer, key = mesh_lib.replicate(
+            # restored leaves may be host- or process-local); a sharded
+            # replay buffer instead re-distributes the canonical host form
+            # over the data axis
+            state, best_variables, key = mesh_lib.replicate(
                 self.mesh, mh.fetch_replicated(
-                    self.mesh, (state, best_variables, buffer, key)))
+                    self.mesh, (state, best_variables, key)))
+            buffer = (rs_lib.shard_host(self.mesh, buffer)
+                      if self.shard_replay else
+                      mesh_lib.replicate(self.mesh, mh.fetch_replicated(
+                          self.mesh, buffer)))
         elif self.num_devices > 1:
             # orbax restores single-device-committed arrays; EVERYTHING the
             # mesh programs consume must be re-replicated or jit rejects the
@@ -453,8 +504,12 @@ class AlphaZeroPipeline:
             # step, the buffer for scanned sampling, best_variables for the
             # eval arena, and the rng key threading through sharded
             # self-play (caught by the r4 CLI `continue` drive)
-            state, best_variables, buffer, key = mesh_lib.replicate(
-                self.mesh, (state, best_variables, buffer, key))
+            state, best_variables, key = mesh_lib.replicate(
+                self.mesh, (state, best_variables, key))
+            buffer = (rs_lib.shard_host(
+                self.mesh, jax.tree_util.tree_map(np.asarray, buffer))
+                if self.shard_replay else
+                mesh_lib.replicate(self.mesh, buffer))
         self.learner.state = state
         self.best_variables = best_variables
         self.buffer = buffer
@@ -480,7 +535,8 @@ class AlphaZeroPipeline:
         sp_cfg = self.config.self_play
         self.selfplay.variables = self.learner.variables
         if self.config.training.train_on_latest_only:
-            self.buffer = replay_lib.reset(self.buffer)
+            self.buffer = (rs_lib.reset(self.buffer) if self.shard_replay
+                           else replay_lib.reset(self.buffer))
         num_batches = max(1, math.ceil(sp_cfg.num_games
                                        / sp_cfg.num_parallel_games))
         new_positions = 0
@@ -547,13 +603,27 @@ class AlphaZeroPipeline:
                             to_save, sp_cfg.save_dir,
                             f"it{self.iteration:06d}_b{b}"),
                         timeout, what="trajectory fetch+save")
-            planes, policy, value, valid = \
-                selfplay_lib.flatten_trajectory(traj)
-            self.buffer = replay_lib.add(self.buffer, planes, policy, value,
-                                         valid)
-            new_positions += int(valid.sum())
-            total_slots += int(valid.size)
-        if mh.is_multiprocess():
+            if self.shard_replay:
+                # shard-local ring insert of the [T, B] batch (games axis
+                # over data) — ZERO communication, vs the replicated
+                # buffer's per-iteration trajectory gather. Pre-pin the
+                # trajectory to the canonical [T, B@data] layout first (a
+                # no-op when XLA already chose it) so the shard_map's
+                # in_specs can't force a reshard collective.
+                tb = lambda x: mh.canonical_tb_sharding(self.mesh, x)
+                self.buffer = rs_lib.add(
+                    self.mesh, self.buffer, tb(traj.planes),
+                    tb(traj.policy), tb(traj.value), tb(traj.valid))
+                new_positions += int(np.asarray(jnp.sum(traj.valid)))
+                total_slots += int(np.prod(traj.valid.shape))
+            else:
+                planes, policy, value, valid = \
+                    selfplay_lib.flatten_trajectory(traj)
+                self.buffer = replay_lib.add(self.buffer, planes, policy,
+                                             value, valid)
+                new_positions += int(valid.sum())
+                total_slots += int(valid.size)
+        if mh.is_multiprocess() and not self.shard_replay:
             # re-pin the buffer fully-replicated: GSPMD may have chosen a
             # sharded layout for the insert's output, and sample/checkpoint
             # assume replicated
@@ -591,7 +661,11 @@ class AlphaZeroPipeline:
             acc = aux if acc is None else jax.tree_util.tree_map(
                 jnp.add, acc, aux)
 
-        if chunk > 1:
+        # the sharded buffer samples INSIDE the scanned DP program
+        # (per-shard pools); the host-side replay_lib.sample fallback below
+        # assumes a replicated buffer, so sharded mode always routes
+        # through the scanned path (chunk >= 1)
+        if chunk > 1 or self.shard_replay:
             n_chunks = math.ceil(steps / chunk)
             steps = n_chunks * chunk
             for _ in range(n_chunks):
@@ -614,7 +688,14 @@ class AlphaZeroPipeline:
         (pipeline.py:368-461 analog). Returns eval metrics and applies the
         promotion gate."""
         cfg = self.config.tournament
-        ar = arena_lib.Arena(self.net, cfg, compat=self.config.env_compat)
+        # device-parallel eval (VERDICT r4 item 1): single-controller runs
+        # shard each match's game batch over the pipeline mesh;
+        # multi-process runs shard each process's tournament units over its
+        # LOCAL submesh (the units themselves are process-sharded below)
+        eval_mesh = (mesh_lib.local_mesh() if mh.is_multiprocess()
+                     else self.mesh)
+        ar = arena_lib.Arena(self.net, cfg, compat=self.config.env_compat,
+                             mesh=eval_mesh)
         cur_vars, best_vars = self.learner.variables, self.best_variables
         if mh.is_multiprocess():
             # host copies of the replicated weights: each process runs its
@@ -684,7 +765,13 @@ class AlphaZeroPipeline:
         matches the uninterrupted one (this runs after ``save_checkpoint``
         snapshots ``self.key``; VERDICT r3 weak 3,
         tests/test_pipeline.py rng-isolation tests)."""
-        if not self.config.logging.use_tensorboard or not int(self.buffer.size):
+        if not self.config.logging.use_tensorboard \
+                or not rs_lib.total_size(self.buffer):
+            return
+        if self.shard_replay:
+            # replay_lib.sample assumes the replicated scalar-cursor
+            # layout; the TB projector embedding is diagnostic-only, so
+            # sharded-buffer runs skip it rather than gather the buffer
             return
         k = jax.random.fold_in(jax.random.fold_in(self.key, 0x10C), step)
         planes, _, value = replay_lib.sample(
@@ -724,7 +811,7 @@ class AlphaZeroPipeline:
                     "selfplay/seconds": t_sp - t0,
                     "train/seconds": t_tr - t_sp,
                     "eval/seconds": t_ev - t_tr,
-                    "replay/size": int(self.buffer.size),
+                    "replay/size": rs_lib.total_size(self.buffer),
                     **eval_metrics,
                 }
                 if self._last_relabel_stats:

@@ -20,6 +20,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 pid, nproc = int(sys.argv[1]), int(sys.argv[2])
 port, outdir = sys.argv[3], sys.argv[4]
+# optional 5th arg "sharded": data-axis-sharded replay buffer (r5) —
+# shard-local inserts, canonical checkpoints, sync-fallback background save
+sharded_replay = len(sys.argv) > 5 and sys.argv[5] == "sharded"
 
 import jax
 
@@ -57,9 +60,14 @@ cfg.training.num_epochs = 2
 cfg.training.replay_capacity = 512
 # r4: primary-only background fetch+save (collective-free local reads)
 cfg.training.background_checkpoint_fetch = True
+cfg.training.shard_replay_buffer = sharded_replay
 cfg.tournament.rounds = 1
 cfg.tournament.num_simulations = 2
-cfg.tournament.games_per_pair = 2
+# 4 games/pairing -> each (pairing, color-half) unit is a 2-game batch,
+# which divides the 2-device LOCAL mesh: the process's eval units shard
+# over both its local devices (r5 device-parallel eval) instead of
+# replicating on one
+cfg.tournament.games_per_pair = 4
 cfg.logging.use_tensorboard = False
 cfg.logging.verbose = False
 # per-process artifact dirs: the parent asserts p1's stay empty
@@ -84,10 +92,15 @@ digest = hashlib.sha256()
 for leaf in jax.tree_util.tree_leaves(params_np):
     digest.update(np.ascontiguousarray(leaf).tobytes())
 
+from alphazero_reversi_tpu.parallel import replay_sharded as rs_lib
+
 with open(os.path.join(outdir, f"result_p{pid}.json"), "w") as f:
     json.dump({
         "pid": pid,
         "params_sha256": digest.hexdigest(),
+        "replay_sharded": bool(rs_lib.is_sharded(pipe.buffer)),
+        "replay_size": rs_lib.total_size(pipe.buffer),
+        "resumed_replay_size": rs_lib.total_size(pipe2.buffer),
         "metrics": [{k: float(v) for k, v in m.items()}
                     for m in pipe.metrics_history],
         "best_elo": float(pipe.best_elo),

@@ -66,17 +66,24 @@ PIPELINE_WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "multiproc_pipeline_worker.py")
 
 
-def test_two_process_full_pipeline(tmp_path):
+@pytest.mark.parametrize("sharded_replay", [False, True])
+def test_two_process_full_pipeline(tmp_path, sharded_replay):
     """Multi-controller product path (VERDICT r2 item 2): two processes
     drive ``AlphaZeroPipeline.train`` end to end for 2 iterations on a
     4-device global mesh. Params must end bit-identical across processes,
     every per-iteration metric must agree, and ONLY process 0 may have
-    written any artifact (checkpoints, best model, logs, self-play data)."""
+    written any artifact (checkpoints, best model, logs, self-play data).
+
+    ``sharded_replay=True`` re-runs the whole thing with the data-axis-
+    sharded replay buffer (r5): shard-local inserts, canonical-layout
+    checkpoints, and the documented background-save sync fallback — all
+    cross-process invariants must hold identically."""
     port = str(_free_port())
+    extra = ["sharded"] if sharded_replay else []
     procs = [
         subprocess.Popen(
             [sys.executable, PIPELINE_WORKER, str(i), "2", port,
-             str(tmp_path)],
+             str(tmp_path)] + extra,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
         for i in range(2)
     ]
@@ -114,6 +121,10 @@ def test_two_process_full_pipeline(tmp_path):
     # though only the primary has a checkpoint dir at all here
     for r in results:
         assert r["resumed"] and r["resumed_iteration"] == 2
+        assert r["replay_sharded"] == sharded_replay
+        # the resumed pipeline holds the same number of positions the
+        # trained one did (sharded mode: canonical checkpoint re-sharded)
+        assert r["resumed_replay_size"] == r["replay_size"] > 0
 
     # primary-only writes: process 1's artifact dirs must not exist (or be
     # empty) — the non-primary logger/checkpointer creates nothing
