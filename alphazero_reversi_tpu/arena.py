@@ -71,29 +71,36 @@ def _make_side_probs(net, *, num_simulations: int, c_puct: float,
     (``gumbel_scale=0`` — the match-play analog of a noise-free PUCT
     search): at ~zero temperature the move is the sequential-halving
     winner; at higher temperatures actions sample from the tempered
-    improved policy (``gumbel.play_probs``)."""
+    improved policy (``gumbel.play_probs``).
+
+    The returned callable takes an optional ``warm`` root-stat pair
+    (1-level tree reuse, ``mcts.tree.warm_stats_after``) and returns
+    ``(probs, stats)`` where ``stats`` is the finished search's flat tree
+    stats array (for the caller's reuse carry; ``None`` for the random
+    baseline, whose play is search-free)."""
     if algorithm not in ("puct", "gumbel"):
         raise ValueError(f"unknown search algorithm {algorithm!r}")
 
-    def side_probs(states, skey, variables, is_random: bool) -> jax.Array:
+    def side_probs(states, skey, variables, is_random: bool, warm=None):
         if is_random:
-            return _random_probs(states, compat)
+            return _random_probs(states, compat), None
         if algorithm == "gumbel":
             gres = gumbel_lib.run_gumbel_search(
                 net, variables, states, skey,
                 num_simulations=num_simulations,
                 max_considered_actions=max_considered_actions,
                 c_visit=c_visit, c_scale=c_scale, gumbel_scale=0.0,
-                max_depth=max_depth, compat=compat, leaf_batch=leaf_batch)
-            return gumbel_lib.play_probs(gres, temperature)
+                max_depth=max_depth, compat=compat, leaf_batch=leaf_batch,
+                warm_root=warm)
+            return gumbel_lib.play_probs(gres, temperature), gres.tree.stats
         result = search_lib.run_search(
             net, variables, states, skey,
             num_simulations=num_simulations, c_puct=c_puct,
             dirichlet_alpha=0.3, dirichlet_epsilon=0.0,
             max_depth=max_depth, compat=compat, add_noise=False,
-            leaf_batch=leaf_batch)
+            leaf_batch=leaf_batch, warm_root=warm)
         return search_lib.probs_with_temperature(
-            result.visit_counts, jnp.float32(temperature))
+            result.visit_counts, jnp.float32(temperature)), result.tree.stats
 
     return side_probs
 
@@ -105,7 +112,8 @@ def _make_side_probs(net, *, num_simulations: int, c_puct: float,
                      "pass_slack", "return_final", "num_simulations_b",
                      "leaf_batch", "leaf_batch_b", "algorithm",
                      "algorithm_b", "max_considered_actions", "c_visit",
-                     "c_scale", "black_games", "mesh"),
+                     "c_scale", "black_games", "mesh", "tree_reuse",
+                     "tree_reuse_b"),
 )
 def _play_pair_parts(net, vars_a, vars_b, key: jax.Array, *, num_games: int,
                      num_simulations: int, c_puct: float, temperature: float,
@@ -121,7 +129,9 @@ def _play_pair_parts(net, vars_a, vars_b, key: jax.Array, *, num_games: int,
                      max_considered_actions: int = 16, c_visit: float = 50.0,
                      c_scale: float = 0.1,
                      black_games: Optional[int] = None,
-                     mesh: Optional[Mesh] = None):
+                     mesh: Optional[Mesh] = None,
+                     tree_reuse: str = "off",
+                     tree_reuse_b: Optional[str] = None):
     """Play ``num_games`` games of A vs B, searching only for the mover.
 
     A plays BLACK in the first ``num_games // 2`` games and WHITE in the rest
@@ -150,6 +160,18 @@ def _play_pair_parts(net, vars_a, vars_b, key: jax.Array, *, num_games: int,
     multi-process tournament, whose work units are (pairing, color-half)
     slices (``Arena.run_tournament_sharded``). Default None keeps the even
     half/half split.
+
+    ``tree_reuse`` / ``tree_reuse_b`` ("off" | "root", per side): 1-level
+    tree reuse across a side's consecutive searches. In alternating play a
+    side's next root is the *grandchild* of its previous one (own move,
+    then the opponent's reply), so each reusing side's scan carry holds its
+    last search's flat tree stats plus the two actions since; the warm pair
+    is extracted per ply with ``mcts.tree.warm_stats_after`` and seeds the
+    next search (``warm_root`` semantics — fresh budgets, warm Q). A side
+    whose opponent moved twice since its last search (auto-pass
+    realignment) invalidates its carry and searches cold. ``tree_reuse_b``
+    ``None`` mirrors ``tree_reuse``; asymmetric settings measure the
+    strength effect at equal simulations (refbench/reuse_strength.py).
 
     ``mesh`` (static) shards each color-half's game batch over the mesh's
     ``data`` axis (VERDICT r4 item 1 — the reference analog being scaled is
@@ -218,36 +240,96 @@ def _play_pair_parts(net, vars_a, vars_b, key: jax.Array, *, num_games: int,
         algorithm=algorithm if algorithm_b is None else algorithm_b,
         **gumbel_kw)
 
-    def half_ply(parts, step_key, sched_color: int):
+    from .mcts import tree as tree_lib
+
+    reuse_flags = (tree_reuse == "root",
+                   (tree_reuse if tree_reuse_b is None
+                    else tree_reuse_b) == "root")
+    for mode in (tree_reuse, tree_reuse_b):
+        if mode not in ("off", "root", None):
+            raise ValueError(f"unknown tree_reuse mode {mode!r}")
+    side_random = (a_random, b_random)
+    side_sims = (num_simulations,
+                 num_simulations if num_simulations_b is None
+                 else num_simulations_b)
+
+    def init_carries():
+        """Per part, per side: (stats, a_self, a_opp) — the side's last
+        search tree stats plus the actions since — or None (no reuse, or
+        the search-free random baseline)."""
+        carries = []
+        for states in parts:
+            n = states.done.shape[0]
+            per_side = []
+            for s in range(2):
+                if not reuse_flags[s] or side_random[s]:
+                    per_side.append(None)
+                    continue
+                width = (side_sims[s] + 1) * tree_lib.STRIDE
+                per_side.append((jnp.zeros((n, width), jnp.float32),
+                                 jnp.full((n,), -1, jnp.int32),
+                                 jnp.full((n,), -1, jnp.int32)))
+            carries.append(tuple(per_side))
+        return tuple(carries)
+
+    def half_ply(parts, carries, step_key, sched_color: int):
         """One ply at statically-known scheduled color: each color-half
         searches with exactly ONE player's settings (A's where A owns the
         scheduled color, B's otherwise), moves applied only where the
         game's actual mover matches the schedule."""
         subkeys = jax.random.split(step_key, 2 * len(parts))
-        out = []
+        out, out_carries = [], []
         for i, (states, a_col) in enumerate(zip(parts, part_colors)):
             k_search, k_sample = subkeys[2 * i], subkeys[2 * i + 1]
-            if a_col == sched_color:
-                probs = probs_a_fn(states, k_search, vars_a, a_random)
+            mover = 0 if a_col == sched_color else 1  # 0 = A, 1 = B
+            cm = carries[i][mover]
+            warm = (tree_lib.warm_stats_after(*cm)
+                    if cm is not None else None)
+            if mover == 0:
+                probs, stats_new = probs_a_fn(states, k_search, vars_a,
+                                              a_random, warm)
             else:
-                probs = probs_b_fn(states, k_search, vars_b, b_random)
+                probs, stats_new = probs_b_fn(states, k_search, vars_b,
+                                              b_random, warm)
             actions = search_lib.sample_actions(k_sample, probs)
             move_ok = (states.to_move == sched_color) & ~states.done
             new_states, _ = env.step(states, actions, compat=compat)
             out.append(constrain(jax.tree_util.tree_map(
                 lambda new, old: jnp.where(move_ok, new, old),
                 new_states, states)))
-        return tuple(out)
 
-    def ply_pair(parts, pair_key):
+            new_sides = list(carries[i])
+            if cm is not None and stats_new is not None:
+                stats, a_self, a_opp = cm
+                new_sides[mover] = (
+                    jnp.where(move_ok[:, None], stats_new, stats),
+                    jnp.where(move_ok, actions, a_self),
+                    jnp.where(move_ok, -1, a_opp))
+            co = carries[i][1 - mover]
+            if co is not None:
+                stats_o, a_self_o, a_opp_o = co
+                # a second mover move since the opponent's search (auto-
+                # pass realignment) outruns the 2-ply carry: invalidate
+                invalid = move_ok & (a_opp_o >= 0)
+                new_sides[1 - mover] = (
+                    stats_o,
+                    jnp.where(invalid, -1, a_self_o),
+                    jnp.where(invalid, -1,
+                              jnp.where(move_ok, actions, a_opp_o)))
+            out_carries.append(tuple(new_sides))
+        return tuple(out), tuple(out_carries)
+
+    def ply_pair(carry, pair_key):
+        parts, carries = carry
         kb, kw = jax.random.split(pair_key)
-        parts = half_ply(parts, kb, env.BLACK)
-        parts = half_ply(parts, kw, env.WHITE)
-        return parts, None
+        parts, carries = half_ply(parts, carries, kb, env.BLACK)
+        parts, carries = half_ply(parts, carries, kw, env.WHITE)
+        return (parts, carries), None
 
     num_pairs = (max_moves + pass_slack + 1) // 2
     pair_keys = jax.random.split(key, num_pairs)
-    final_parts, _ = jax.lax.scan(ply_pair, parts, pair_keys)
+    (final_parts, _), _ = jax.lax.scan(ply_pair, (parts, init_carries()),
+                                       pair_keys)
     score_parts = tuple(_score_a(f, jnp.int32(c))
                         for f, c in zip(final_parts, part_colors))
     # parts stay separate INSIDE the program: concatenating two
@@ -303,8 +385,8 @@ def play_pair_lockstep(net, vars_a, vars_b, key: jax.Array, *, num_games: int,
 
     def move_step(states, step_key):
         ka, kb, ks = jax.random.split(step_key, 3)
-        probs_a = side_probs(states, ka, vars_a, a_random)
-        probs_b = side_probs(states, kb, vars_b, b_random)
+        probs_a, _ = side_probs(states, ka, vars_a, a_random)
+        probs_b, _ = side_probs(states, kb, vars_b, b_random)
         mover_is_a = (states.to_move == a_color)[:, None]
         probs = jnp.where(mover_is_a, probs_a, probs_b)
         actions = search_lib.sample_actions(ks, probs)
@@ -370,7 +452,8 @@ class Arena:
             c_visit=cfg.c_visit,
             c_scale=cfg.c_scale,
             black_games=black_games,
-            mesh=self.mesh)
+            mesh=self.mesh,
+            tree_reuse=getattr(cfg, "tree_reuse", "off"))
         return np.asarray(scores)
 
     def run_tournament(self, key: jax.Array,

@@ -92,6 +92,15 @@ class MCTSConfig:
     # endgames from search statistics alone). 0 disables. Does not affect
     # jitted/batched device search (self-play, arena).
     exact_endgame_empties: int = 0
+    # tree reuse across consecutive moves of a game (the working version of
+    # the reference's intended-but-broken ``update_with_move``,
+    # src/mcts/mcts.py:696-719). "root": carry the played child's edge
+    # statistics (visits + value sums, 1 level) into the next search's root
+    # — warm Q estimates inform selection from round 0 while the visit
+    # budget/policy targets stay fresh (mcts.tree.root_child_warm_stats).
+    # Applied on the self-play path (selfplay.play_games); "off" disables
+    # (bit-identical to the historical program).
+    tree_reuse: str = "off"
 
 
 @dataclass
@@ -259,6 +268,13 @@ class TournamentConfig:
     # difference is the color assignment: an exact half/half split per
     # pairing instead of alternating the first mover by round.
     batch_rounds: bool = False
+    # 1-level tree reuse across each side's consecutive searches in a game
+    # ("off" | "root" — MCTSConfig.tree_reuse semantics, applied to BOTH
+    # sides of every arena match via the grandchild carry,
+    # arena._play_pair_parts). Symmetric, so relative ratings stay
+    # comparable; per-side asymmetry is a play_pair-level harness feature
+    # (tree_reuse_b) used by refbench/reuse_strength.py.
+    tree_reuse: str = "off"
     temperature: float = 0.1
     output_dir: str = "tournament_results"
     elo_file: str = "elo_ratings.json"

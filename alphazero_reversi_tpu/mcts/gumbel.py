@@ -47,7 +47,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -189,7 +189,9 @@ def run_gumbel_search(net, variables: Dict[str, Any],
                       c_visit: float = 50.0, c_scale: float = 0.1,
                       gumbel_scale: float = 1.0, max_depth: int = 24,
                       compat: bool = False, num_stages: int = 6,
-                      leaf_batch: int = 1) -> GumbelResult:
+                      leaf_batch: int = 1,
+                      warm_root: Optional[Tuple[jax.Array, jax.Array]] = None
+                      ) -> GumbelResult:
     """Batched Gumbel search from ``root_states`` (leading batch axis B).
 
     ``gumbel_scale`` scales the root Gumbel draw: 1.0 for self-play
@@ -199,6 +201,16 @@ def run_gumbel_search(net, variables: Dict[str, Any],
     count toward the prescribed-visit mask, so the halving schedule is
     honored exactly); descents below the root run in lockstep exactly as in
     the PUCT driver.
+
+    ``warm_root``: optional ``(visits [B, A], vsum [B, A])`` seeding the
+    root's edge stats from the previous move's search (1-level tree reuse,
+    ``tree.root_child_warm_stats``). The sequential-halving *schedule* is
+    masked on FRESH visit counts only (warm counts subtracted), so the
+    budget allocation and the phase structure are exactly those of a cold
+    search — but ``sigma``'s completed-Q uses warm+fresh evidence, so
+    every halving decision (and the improved-policy target) is better
+    informed. The winner is chosen among actions at the maximal FRESH
+    count; reported ``visit_counts`` are fresh-only.
     """
     batch = root_states.to_move.shape[0]
     L = leaf_batch
@@ -220,6 +232,13 @@ def run_gumbel_search(net, variables: Dict[str, Any],
     bounds = _stage_bounds(num_rounds, num_stages)
     trees = tree_lib.init_root(tree_lib.make_tree(batch, bounds[0] * L + 1),
                                root_states, prior, legal, root_raw)
+    if warm_root is not None:
+        warm_v = jnp.where(legal, jnp.maximum(
+            warm_root[0].astype(jnp.float32), 0.0), 0.0)
+        trees = tree_lib.seed_root_stats(
+            trees, warm_v, warm_root[1].astype(jnp.float32), legal)
+    else:
+        warm_v = None
     root_to_move = root_states.to_move
     root_row = trees.rows[:, 0, :]
     root_p, root_lg = tree_lib.decode_prior_legal(root_row)
@@ -257,9 +276,14 @@ def run_gumbel_search(net, variables: Dict[str, Any],
         root_extra = jnp.zeros((batch, A), jnp.float32)
         seq_round = prescribed_round(r)  # [B, L]
 
+        # the halving schedule prescribes FRESH visit counts: a warm-seeded
+        # root subtracts its warm counts so budget allocation matches a
+        # cold search exactly (sigma above still sees warm+fresh evidence)
+        fresh_base = (root_visits if warm_v is None
+                      else root_visits - warm_v)
         a0s, child0s = [], []
         for l in range(L):
-            visits_eff = root_visits + root_extra
+            visits_eff = fresh_base + root_extra
             eligible = root_lg & (visits_eff == seq_round[:, l:l + 1]) \
                 & ~root_done[:, None]
             any_elig = eligible.any(-1)
@@ -349,9 +373,12 @@ def run_gumbel_search(net, variables: Dict[str, Any],
     root_vsum = final_srow[:, tree_lib.VSUM_OFF:tree_lib.VSUM_OFF + A]
     sigma = completed_q_sigma(visit_counts_f, root_vsum, root_p, root_lg,
                               root_value_col, cv, cs)
+    if warm_v is not None:
+        visit_counts_f = visit_counts_f - warm_v  # report fresh only
 
     # the move: argmax of g + logits + sigma among the maximally visited
-    # root actions (the halving survivors); fallback to all legal
+    # root actions (the halving survivors, by fresh count); fallback to all
+    # legal
     max_count = jnp.where(root_lg, visit_counts_f, -1.0).max(-1,
                                                              keepdims=True)
     survivors = root_lg & (visit_counts_f == max_count)

@@ -213,7 +213,9 @@ def run_search(net, variables: Dict[str, Any], root_states: env.EnvState,
                dirichlet_alpha: float, dirichlet_epsilon: float,
                max_depth: int = 24, compat: bool = False,
                add_noise: bool = True, num_stages: int = 6,
-               leaf_batch: int = 1) -> SearchResult:
+               leaf_batch: int = 1,
+               warm_root: Optional[Tuple[jax.Array, jax.Array]] = None
+               ) -> SearchResult:
     """Run batched MCTS from ``root_states`` (leading batch axis B).
 
     ``leaf_batch`` (``MCTSConfig.batch_size``) is the number of leaves each
@@ -229,6 +231,16 @@ def run_search(net, variables: Dict[str, Any], root_states: env.EnvState,
     land on the same (leaf, action) evaluate/back up that leaf again but
     link it only once (exactly the reference's duplicate-leaf behavior
     under virtual loss). ``num_simulations`` must divide by ``leaf_batch``.
+
+    ``warm_root``: optional ``(visits [B, A], vsum [B, A])`` pair seeding
+    the root's edge statistics from the previous move's search
+    (``tree.root_child_warm_stats`` — 1-level tree reuse,
+    ``MCTSConfig.tree_reuse="root"``). Warm edges carry their Q estimates
+    into selection but have no child nodes (first selection re-expands
+    them). The returned ``visit_counts``/``action_probs`` count ONLY this
+    search's ``num_simulations`` fresh visits (warm visits are subtracted),
+    so training targets and temperature sampling are uncontaminated by the
+    previous move's budget; ``root_value`` blends warm and fresh evidence.
     """
     batch = root_states.to_move.shape[0]
     L = leaf_batch
@@ -252,6 +264,11 @@ def run_search(net, variables: Dict[str, Any], root_states: env.EnvState,
     bounds = _stage_bounds(num_rounds, num_stages)
     trees = tree_lib.init_root(tree_lib.make_tree(batch, bounds[0] * L + 1),
                                root_states, prior, legal, root_raw_value)
+    if warm_root is not None:
+        warm_v = jnp.where(legal, jnp.maximum(
+            warm_root[0].astype(jnp.float32), 0.0), 0.0)
+        trees = tree_lib.seed_root_stats(
+            trees, warm_v, warm_root[1].astype(jnp.float32), legal)
     root_to_move = root_states.to_move
     root_row = trees.rows[:, 0, :]
     root_p, root_lg = tree_lib.decode_prior_legal(root_row)
@@ -385,6 +402,10 @@ def run_search(net, variables: Dict[str, Any], root_states: env.EnvState,
         start = end
 
     visit_counts = tree_lib.root_visit_counts(trees)
+    if warm_root is not None:
+        # report FRESH visits only: targets/sampling must reflect this
+        # search's budget, not the carried-over warm counts
+        visit_counts = visit_counts - warm_v.astype(jnp.int32)
     total = jnp.maximum(visit_counts.sum(axis=-1, keepdims=True), 1)
     action_probs = visit_counts.astype(jnp.float32) / total
     return SearchResult(visit_counts=visit_counts, action_probs=action_probs,

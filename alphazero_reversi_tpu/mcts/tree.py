@@ -246,6 +246,97 @@ def gather_node(tree: Tree, node: jax.Array
     return row, srow
 
 
+def root_child_warm_stats(tree: Tree, action: jax.Array
+                          ) -> Tuple[jax.Array, jax.Array]:
+    """Edge statistics of the root's child reached by ``action`` — the
+    1-level tree-reuse carry (``MCTSConfig.tree_reuse="root"``).
+
+    Returns ``(visits [B, A] f32, vsum [B, A] f32)``: the per-action visit
+    counts and value sums of the child node the played ``action`` leads to,
+    with child-slot links STRIPPED (the subtree below is not carried; a
+    warm edge re-expands on first selection). The value sums are already
+    from the perspective of the player to move at the child — exactly the
+    next search's root POV (``tree.py`` value convention), so the pair can
+    seed the next search's slot-0 stats unchanged. Games whose played
+    action has no expanded child (possible under temperature sampling)
+    return zeros — a fresh search.
+
+    This is the working version of the reference's intended-but-broken
+    ``update_with_move`` subtree reuse (/root/reference/src/mcts/mcts.py:
+    696-719, which wipes the children it claims to keep — SURVEY.md
+    appendix).
+    """
+    root_packed = tree.stats[:, VISITS_OFF:VISITS_OFF + A]
+    child = unpack_visits_child(root_packed)[1]
+    onehot = jax.nn.one_hot(action, A, dtype=jnp.float32)
+    c1 = (child * onehot).sum(-1).astype(jnp.int32)
+    stats3 = tree.stats.reshape(tree.stats.shape[0], -1, STRIDE)
+    srow = jax.vmap(lambda s, n: s[n])(stats3, c1)  # [B, S]
+    visits = jnp.floor(srow[:, VISITS_OFF:VISITS_OFF + A] * (1.0 / PACK))
+    vsum = srow[:, VSUM_OFF:VSUM_OFF + A]
+    ok = (c1 > 0)[:, None]
+    return jnp.where(ok, visits, 0.0), jnp.where(ok, vsum, 0.0)
+
+
+def warm_stats_after(stats: jax.Array, a_self: jax.Array,
+                     a_opp: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Warm root-edge stats after a 1- or 2-ply descent from a finished
+    search's ``stats`` array — the match-play (arena) form of
+    :func:`root_child_warm_stats`.
+
+    In alternating play a side's next search roots at the *grandchild* of
+    its previous search root: its own move ``a_self``, then the opponent's
+    reply ``a_opp``. ``a_opp < 0`` means no opponent move intervened (the
+    opponent auto-passed), so the carry descends one level only.
+    ``a_self < 0`` (no previous search, or an invalidated carry) and
+    missing children return zeros — a cold search. Child-slot links are
+    stripped exactly as in :func:`root_child_warm_stats`.
+    """
+    n = stats.shape[0]
+    stats3 = stats.reshape(n, -1, STRIDE)
+
+    def pick_child(packed_row: jax.Array, action: jax.Array) -> jax.Array:
+        child = unpack_visits_child(packed_row)[1]
+        onehot = jax.nn.one_hot(jnp.maximum(action, 0), A,
+                                dtype=jnp.float32)
+        return (child * onehot).sum(-1).astype(jnp.int32)
+
+    c1 = pick_child(stats3[:, 0, VISITS_OFF:VISITS_OFF + A], a_self)
+    row1 = jax.vmap(lambda s, i: s[i])(stats3, c1)  # [n, S]
+    c2 = pick_child(row1[:, VISITS_OFF:VISITS_OFF + A], a_opp)
+    use2 = a_opp >= 0
+    c = jnp.where(use2, c2, c1)
+    rowc = jax.vmap(lambda s, i: s[i])(stats3, c)  # [n, S]
+    visits = jnp.floor(rowc[:, VISITS_OFF:VISITS_OFF + A] * (1.0 / PACK))
+    vsum = rowc[:, VSUM_OFF:VSUM_OFF + A]
+    ok = ((a_self >= 0) & (c1 > 0) & (~use2 | (c2 > 0)))[:, None]
+    return jnp.where(ok, visits, 0.0), jnp.where(ok, vsum, 0.0)
+
+
+def seed_root_stats(tree: Tree, warm_visits: jax.Array,
+                    warm_vsum: jax.Array, legal: jax.Array) -> Tree:
+    """Install warm edge statistics at the root (slot-0 stats row).
+
+    ``warm_visits``/``warm_vsum`` are ``[B, A]`` f32 as produced by
+    :func:`root_child_warm_stats`; entries on illegal actions are dropped
+    defensively (a legal edge of the previous child is always legal at the
+    identical root position, so this only guards caller bugs). Child-slot
+    fields start at 0: warm edges look explored (their Q informs selection)
+    but unexpanded (first selection re-expands them), which preserves the
+    static slot allocation and the depth-staged select bound — a round-r
+    descent still needs at most r+1 levels.
+    """
+    wv = jnp.where(legal, jnp.maximum(warm_visits, 0.0), 0.0)
+    ws = jnp.where(legal, warm_vsum, 0.0)
+    stats = tree.stats.at[:, VISITS_OFF:VISITS_OFF + A].set(wv * PACK)
+    stats = stats.at[:, VSUM_OFF:VSUM_OFF + A].set(ws)
+    return tree._replace(
+        stats=stats,
+        root_visit=wv.sum(-1).astype(jnp.int32),
+        root_vsum=ws.sum(-1),
+    )
+
+
 # -- read-side helpers (results, tests, debugging) -------------------------
 
 def root_visit_counts(tree: Tree) -> jax.Array:

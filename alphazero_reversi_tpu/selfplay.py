@@ -48,6 +48,7 @@ from .config import Config, MCTSConfig, SelfPlayConfig
 from .env import bitboard as env
 from .mcts import gumbel as gumbel_lib
 from .mcts import search as search_lib
+from .mcts import tree as tree_lib
 
 
 class Trajectory(NamedTuple):
@@ -89,7 +90,7 @@ def _outcome_value(final: env.EnvState, to_move: jax.Array) -> jax.Array:
     static_argnames=("net", "num_games", "num_simulations", "max_depth",
                      "max_moves", "compat", "num_stages", "leaf_batch",
                      "algorithm", "max_considered_actions", "c_visit",
-                     "c_scale", "tail_skip"),
+                     "c_scale", "tail_skip", "tree_reuse"),
 )
 def play_games(net, variables: Dict[str, Any], key: jax.Array, *,
                num_games: int, num_simulations: int, c_puct: float,
@@ -100,6 +101,7 @@ def play_games(net, variables: Dict[str, Any], key: jax.Array, *,
                leaf_batch: int = 1, algorithm: str = "puct",
                max_considered_actions: int = 16, c_visit: float = 50.0,
                c_scale: float = 0.1, tail_skip: bool = True,
+               tree_reuse: str = "off",
                init_states: env.EnvState | None = None) -> Trajectory:
     """Play ``num_games`` games in lockstep; one XLA program end to end.
 
@@ -113,14 +115,26 @@ def play_games(net, variables: Dict[str, Any], key: jax.Array, *,
     Gumbel draw is the exploration — no Dirichlet noise, no temperature
     sampling) and the recorded policy target is the *improved policy*
     rather than the visit distribution.
+
+    ``tree_reuse="root"`` carries the played child's root-edge statistics
+    into the next move's search (``MCTSConfig.tree_reuse`` — 1-level tree
+    reuse; the working version of the reference's broken
+    ``update_with_move``, src/mcts/mcts.py:696-719): the scan carry gains a
+    tiny ``[B, A]`` visits/vsum pair, warm Q estimates inform every
+    selection from round 0, and policy targets/visit budgets stay fresh
+    (``mcts.search.run_search warm_root`` semantics). "off" is
+    bit-identical to the historical program.
     """
     if algorithm not in ("puct", "gumbel"):
         raise ValueError(f"unknown search algorithm {algorithm!r}")
+    if tree_reuse not in ("off", "root"):
+        raise ValueError(f"unknown tree_reuse mode {tree_reuse!r}")
+    reuse = tree_reuse == "root"
     states = (init_states if init_states is not None
               else env.initial_state((num_games,)))
 
     def live_step(operand):
-        states, t, step_key = operand
+        states, t, step_key, warm = operand
         search_key, sample_key = jax.random.split(step_key)
 
         if algorithm == "gumbel":
@@ -130,8 +144,10 @@ def play_games(net, variables: Dict[str, Any], key: jax.Array, *,
                 max_considered_actions=max_considered_actions,
                 c_visit=c_visit, c_scale=c_scale, gumbel_scale=1.0,
                 max_depth=max_depth, compat=compat,
-                num_stages=num_stages, leaf_batch=leaf_batch)
+                num_stages=num_stages, leaf_batch=leaf_batch,
+                warm_root=warm)
             policy_target, actions = gres.action_probs, gres.chosen_action
+            res_tree = gres.tree
         else:
             result = search_lib.run_search(
                 net, variables, states, search_key,
@@ -139,13 +155,15 @@ def play_games(net, variables: Dict[str, Any], key: jax.Array, *,
                 dirichlet_alpha=dirichlet_alpha,
                 dirichlet_epsilon=dirichlet_epsilon,
                 max_depth=max_depth, compat=compat, add_noise=True,
-                num_stages=num_stages, leaf_batch=leaf_batch)
+                num_stages=num_stages, leaf_batch=leaf_batch,
+                warm_root=warm)
             temp = jnp.where(t < temp_threshold, jnp.float32(temp_init),
                              jnp.float32(temp_final))
             probs = search_lib.probs_with_temperature(result.visit_counts,
                                                       temp)
             actions = search_lib.sample_actions(sample_key, probs)
             policy_target = result.action_probs
+            res_tree = result.tree
 
         planes = env.canonical_planes(states, compat=compat)
         live = ~states.done
@@ -158,22 +176,31 @@ def play_games(net, variables: Dict[str, Any], key: jax.Array, *,
         new_states = jax.tree_util.tree_map(
             lambda new, old: jnp.where(states.done, old, new),
             new_states, states)
-        return new_states, record
+        if reuse:
+            wv, ws = tree_lib.root_child_warm_stats(res_tree, actions)
+            lc = live[:, None]
+            new_warm = (jnp.where(lc, wv, 0.0), jnp.where(lc, ws, 0.0))
+        else:
+            new_warm = warm
+        return new_states, record, new_warm
 
     def dead_step(operand):
         # every game finished: skip the search entirely. Records are
         # padding (valid=False) — training masks them — so zeros suffice.
-        states, t, step_key = operand
+        states, t, step_key, warm = operand
         b = states.done.shape[0]
         record = (jnp.zeros((b, 8, 8, 3), jnp.float32),
                   jnp.zeros((b, env.NUM_ACTIONS), jnp.float32),
                   states.to_move,
                   jnp.zeros((b,), jnp.bool_),
                   jnp.full((b,), -1, jnp.int32))
-        return states, record
+        return states, record, warm
 
     def move_step(carry, xs):
-        states, key = carry
+        if reuse:
+            states, key, warm = carry
+        else:
+            (states, key), warm = carry, None
         t, step_key = xs
         # batch-global tail skip: once ALL games are done, a slot costs one
         # reduction + branch instead of a full search. With Reversi's ~60-ply
@@ -193,17 +220,25 @@ def play_games(net, variables: Dict[str, Any], key: jax.Array, *,
         # skipped branch only changes PADDING rows (valid=False), which
         # training masks.
         if tail_skip:
-            new_states, record = jax.lax.cond(
+            new_states, record, new_warm = jax.lax.cond(
                 jnp.any(~states.done), live_step, dead_step,
-                (states, t, step_key))
+                (states, t, step_key, warm))
         else:
-            new_states, record = live_step((states, t, step_key))
-        return (new_states, key), record
+            new_states, record, new_warm = live_step(
+                (states, t, step_key, warm))
+        new_carry = ((new_states, key, new_warm) if reuse
+                     else (new_states, key))
+        return new_carry, record
 
     step_keys = jax.random.split(key, max_moves)
     ts = jnp.arange(max_moves, dtype=jnp.int32)
-    (final_state, _), (planes, policy, to_move, valid, actions) = jax.lax.scan(
-        move_step, (states, key), (ts, step_keys))
+    b = states.done.shape[0]
+    init_carry = ((states, key,
+                   (jnp.zeros((b, env.NUM_ACTIONS), jnp.float32),
+                    jnp.zeros((b, env.NUM_ACTIONS), jnp.float32)))
+                  if reuse else (states, key))
+    (final_state, *_), (planes, policy, to_move, valid, actions) = \
+        jax.lax.scan(move_step, init_carry, (ts, step_keys))
 
     value = jax.vmap(_outcome_value, in_axes=(None, 0))(final_state, to_move)
     value = jnp.where(valid, value, 0.0)
@@ -250,6 +285,7 @@ def search_kwargs(mcts_config: MCTSConfig, sp_config: SelfPlayConfig,
         max_considered_actions=mcts_config.max_considered_actions,
         c_visit=mcts_config.c_visit,
         c_scale=mcts_config.c_scale,
+        tree_reuse=mcts_config.tree_reuse,
     )
 
 

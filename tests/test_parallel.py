@@ -219,15 +219,20 @@ def test_sharded_selfplay_matches_unsharded(net_and_vars):
     assert bool(sharded.final_state.done.all())
 
 
-@pytest.mark.parametrize("algorithm", ["puct", "gumbel"])
-def test_sharded_selfplay_hlo_has_no_collectives(net_and_vars, algorithm):
+@pytest.mark.parametrize("algorithm,tree_reuse",
+                         [("puct", "off"), ("gumbel", "off"),
+                          ("gumbel", "root")])
+def test_sharded_selfplay_hlo_has_no_collectives(net_and_vars, algorithm,
+                                                 tree_reuse):
     """Compile-level proof of the zero-communication claim (VERDICT r3
     item 2): the OPTIMIZED HLO of the sharded self-play program on the
     8-device mesh contains no cross-shard collectives at all — parameter
     placement happens outside the program, the tail-skip reduction is
     disabled on this path (selfplay.play_games tail_skip), and the root
     Dirichlet noise uses the collective-free fixed-trial gamma sampler
-    (ops.random) instead of jax.random.gamma's rejection while_loop."""
+    (ops.random) instead of jax.random.gamma's rejection while_loop.
+    The tree-reuse carry (r5) is per-game gathers — the property must
+    survive with it on."""
     import re
 
     net, variables = net_and_vars
@@ -235,7 +240,7 @@ def test_sharded_selfplay_hlo_has_no_collectives(net_and_vars, algorithm):
     kwargs = dict(num_simulations=4, c_puct=1.0, dirichlet_alpha=0.3,
                   dirichlet_epsilon=0.25, temp_threshold=4, temp_init=1.0,
                   temp_final=0.1, max_moves=8, max_depth=4,
-                  algorithm=algorithm)
+                  algorithm=algorithm, tree_reuse=tree_reuse)
     vr = mesh_lib.replicate(m, variables)
     init = dp.sharded_initial_states(m, 16)
     lowered = selfplay_lib.play_games.lower(

@@ -1,0 +1,240 @@
+"""Tree reuse across moves (``MCTSConfig.tree_reuse`` / VERDICT r4 item 4).
+
+The working version of the reference's intended-but-broken
+``update_with_move`` (/root/reference/src/mcts/mcts.py:696-719, which wipes
+the children it claims to keep): the played child's edge statistics seed the
+next search's root (``warm_root``). Invariants tested here:
+
+* zero warm stats are bit-identical to no warm stats (both drivers);
+* reported visit counts are FRESH only (sum to ``num_simulations``) and the
+  Gumbel halving schedule is honored on fresh counts;
+* the extraction helpers agree with the tree's read-side views;
+* warm Q evidence steers selection toward the previously-good action;
+* ``play_games`` / ``play_pair`` integration: "off" is bit-identical to the
+  historical program, "root" plays complete, valid games.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from alphazero_reversi_tpu import arena, selfplay
+from alphazero_reversi_tpu.config import ModelConfig
+from alphazero_reversi_tpu.env import bitboard as env
+from alphazero_reversi_tpu.mcts import gumbel as gumbel_lib
+from alphazero_reversi_tpu.mcts import search as search_lib
+from alphazero_reversi_tpu.mcts import tree as tree_lib
+from alphazero_reversi_tpu.models import resnet
+
+A = env.NUM_ACTIONS
+B = 4
+SIMS = 16
+
+PUCT_KW = dict(num_simulations=SIMS, c_puct=1.5, dirichlet_alpha=0.3,
+               dirichlet_epsilon=0.25, max_depth=12, num_stages=2)
+GUMBEL_KW = dict(num_simulations=SIMS, max_considered_actions=8,
+                 max_depth=12, num_stages=2)
+
+
+@pytest.fixture(scope="module")
+def net_and_vars():
+    net = resnet.build_network(
+        ModelConfig(num_res_blocks=1, num_filters=8,
+                    compute_dtype="float32"))
+    return net, resnet.init_variables(net, jax.random.PRNGKey(0))
+
+
+def _zeros_warm():
+    return (jnp.zeros((B, A), jnp.float32), jnp.zeros((B, A), jnp.float32))
+
+
+def test_puct_zero_warm_is_identical(net_and_vars):
+    net, variables = net_and_vars
+    states = env.initial_state((B,))
+    key = jax.random.PRNGKey(1)
+    r0 = search_lib.run_search(net, variables, states, key, **PUCT_KW)
+    r1 = search_lib.run_search(net, variables, states, key, **PUCT_KW,
+                               warm_root=_zeros_warm())
+    assert jnp.array_equal(r0.visit_counts, r1.visit_counts)
+    assert jnp.allclose(r0.action_probs, r1.action_probs)
+    assert jnp.allclose(r0.root_value, r1.root_value)
+
+
+def test_gumbel_zero_warm_is_identical(net_and_vars):
+    net, variables = net_and_vars
+    states = env.initial_state((B,))
+    key = jax.random.PRNGKey(2)
+    g0 = gumbel_lib.run_gumbel_search(net, variables, states, key,
+                                      **GUMBEL_KW)
+    g1 = gumbel_lib.run_gumbel_search(net, variables, states, key,
+                                      **GUMBEL_KW, warm_root=_zeros_warm())
+    assert jnp.array_equal(g0.visit_counts, g1.visit_counts)
+    assert jnp.array_equal(g0.chosen_action, g1.chosen_action)
+    assert jnp.allclose(g0.action_probs, g1.action_probs)
+
+
+def _warm_after_search(net, variables, algorithm):
+    """Search the opening, play the chosen action, extract the warm pair."""
+    states = env.initial_state((B,))
+    key = jax.random.PRNGKey(3)
+    if algorithm == "gumbel":
+        res = gumbel_lib.run_gumbel_search(net, variables, states, key,
+                                           **GUMBEL_KW)
+        actions = res.chosen_action
+    else:
+        res = search_lib.run_search(net, variables, states, key, **PUCT_KW)
+        actions = jnp.argmax(res.visit_counts, -1).astype(jnp.int32)
+    wv, ws = tree_lib.root_child_warm_stats(res.tree, actions)
+    new_states, _ = env.step(states, actions)
+    return res, actions, wv, ws, new_states
+
+
+@pytest.mark.parametrize("algorithm", ["puct", "gumbel"])
+def test_warm_search_visit_budget_is_fresh(net_and_vars, algorithm):
+    net, variables = net_and_vars
+    _, _, wv, ws, new_states = _warm_after_search(net, variables, algorithm)
+    assert (np.asarray(wv.sum(-1)) > 0).any()  # the carry is non-trivial
+    key = jax.random.PRNGKey(4)
+    if algorithm == "gumbel":
+        res = gumbel_lib.run_gumbel_search(net, variables, new_states, key,
+                                           **GUMBEL_KW, warm_root=(wv, ws))
+    else:
+        res = search_lib.run_search(net, variables, new_states, key,
+                                    **PUCT_KW, warm_root=(wv, ws))
+    # reported counts are fresh-only: exactly this search's budget
+    np.testing.assert_array_equal(np.asarray(res.visit_counts.sum(-1)),
+                                  np.full(B, SIMS))
+    assert (np.asarray(res.visit_counts) >= 0).all()
+    # ... while the tree's raw root stats include the warm counts
+    raw = tree_lib.root_visit_counts(res.tree)
+    np.testing.assert_array_equal(
+        np.asarray(raw.sum(-1)),
+        np.full(B, SIMS) + np.asarray(wv.sum(-1)).astype(np.int64))
+
+
+def test_extraction_matches_tree_views(net_and_vars):
+    net, variables = net_and_vars
+    res, actions, wv, ws, _ = _warm_after_search(net, variables, "puct")
+    children = np.asarray(tree_lib.children_index(res.tree))
+    visits = np.asarray(tree_lib.visit_counts(res.tree))
+    acts = np.asarray(actions)
+    for b in range(B):
+        c1 = children[b, 0, acts[b]]
+        if c1 == 0:
+            np.testing.assert_array_equal(np.asarray(wv[b]), 0.0)
+        else:
+            np.testing.assert_array_equal(np.asarray(wv[b]), visits[b, c1])
+
+
+def test_warm_stats_after_two_ply(net_and_vars):
+    """The arena's grandchild carry: own move then opponent reply."""
+    net, variables = net_and_vars
+    res, actions, _, _, _ = _warm_after_search(net, variables, "puct")
+    stats = res.tree.stats
+    children = np.asarray(tree_lib.children_index(res.tree))
+    visits = np.asarray(tree_lib.visit_counts(res.tree))
+    acts = np.asarray(actions)
+    # pick each game's most-visited grandchild edge as the "opponent reply"
+    opp = np.full(B, -1, np.int32)
+    for b in range(B):
+        c1 = children[b, 0, acts[b]]
+        if c1 > 0 and visits[b, c1].max() > 0:
+            opp[b] = int(visits[b, c1].argmax())
+    wv2, _ = tree_lib.warm_stats_after(stats, actions, jnp.asarray(opp))
+    wv1, _ = tree_lib.warm_stats_after(stats, actions,
+                                       jnp.full((B,), -1, jnp.int32))
+    for b in range(B):
+        c1 = children[b, 0, acts[b]]
+        # 1-ply form matches root_child_warm_stats
+        if c1 == 0:
+            np.testing.assert_array_equal(np.asarray(wv1[b]), 0.0)
+        else:
+            np.testing.assert_array_equal(np.asarray(wv1[b]), visits[b, c1])
+        # 2-ply form lands on the grandchild (or zeros when absent)
+        if opp[b] < 0 or c1 == 0:
+            np.testing.assert_array_equal(np.asarray(wv2[b]), 0.0)
+        else:
+            c2 = children[b, c1, opp[b]]
+            expect = visits[b, c2] if c2 > 0 else np.zeros(A)
+            np.testing.assert_array_equal(np.asarray(wv2[b]), expect)
+    # invalidated carry (a_self < 0) is all-zero
+    wv0, ws0 = tree_lib.warm_stats_after(
+        stats, jnp.full((B,), -1, jnp.int32), jnp.asarray(opp))
+    assert float(jnp.abs(wv0).sum()) == 0.0
+    assert float(jnp.abs(ws0).sum()) == 0.0
+
+
+def test_warm_q_steers_selection(net_and_vars):
+    """Strong warm evidence for one action draws fresh visits toward it."""
+    net, variables = net_and_vars
+    states = env.initial_state((B,))
+    legal = env.legal_action_mask(states)
+    first_legal = jnp.argmax(legal, -1)
+    # 8 warm visits saying "first legal action wins"
+    wv = 8.0 * jax.nn.one_hot(first_legal, A, dtype=jnp.float32)
+    ws = 8.0 * jax.nn.one_hot(first_legal, A, dtype=jnp.float32)
+    kw = dict(PUCT_KW, dirichlet_epsilon=0.0)
+    res_for = search_lib.run_search(net, variables, states,
+                                    jax.random.PRNGKey(5), **kw,
+                                    warm_root=(wv, ws))
+    res_against = search_lib.run_search(net, variables, states,
+                                        jax.random.PRNGKey(5), **kw,
+                                        warm_root=(wv, -ws))
+    pick = jax.nn.one_hot(first_legal, A, dtype=jnp.float32)
+    favored = np.asarray((res_for.visit_counts * pick).sum(-1))
+    disfavored = np.asarray((res_against.visit_counts * pick).sum(-1))
+    assert (favored >= disfavored).all()
+    assert favored.sum() > disfavored.sum()
+
+
+@pytest.mark.parametrize("algorithm", ["puct", "gumbel"])
+def test_play_games_reuse_modes(net_and_vars, algorithm):
+    net, variables = net_and_vars
+    key = jax.random.PRNGKey(7)
+    kw = dict(num_games=B, num_simulations=SIMS, c_puct=1.5,
+              dirichlet_alpha=0.3, dirichlet_epsilon=0.25, temp_threshold=8,
+              temp_init=1.0, temp_final=0.1, max_depth=12, max_moves=60,
+              num_stages=2, algorithm=algorithm, max_considered_actions=8)
+    t_default = selfplay.play_games(net, variables, key, **kw)
+    t_off = selfplay.play_games(net, variables, key, tree_reuse="off", **kw)
+    # "off" is bit-identical to the historical program
+    assert jnp.array_equal(t_default.actions, t_off.actions)
+    assert jnp.array_equal(t_default.policy, t_off.policy)
+    assert jnp.array_equal(t_default.value, t_off.value)
+
+    t_on = selfplay.play_games(net, variables, key, tree_reuse="root", **kw)
+    assert bool(np.asarray(t_on.final_state.done).all())
+    valid = np.asarray(t_on.valid)
+    policy = np.asarray(t_on.policy)
+    np.testing.assert_allclose(policy[valid].sum(-1), 1.0, atol=1e-4)
+    # reuse changes play (warm evidence reaches selection)
+    assert not jnp.array_equal(t_on.actions, t_off.actions)
+
+    with pytest.raises(ValueError, match="tree_reuse"):
+        selfplay.play_games(net, variables, key, tree_reuse="bogus", **kw)
+
+
+def test_play_pair_reuse_modes(net_and_vars):
+    net, variables = net_and_vars
+    vb = resnet.init_variables(net, jax.random.PRNGKey(9))
+    key = jax.random.PRNGKey(8)
+    kw = dict(num_games=B, num_simulations=SIMS, c_puct=1.5,
+              temperature=0.1, max_depth=12, max_moves=60)
+    s_default = arena.play_pair(net, variables, vb, key, **kw)
+    s_off = arena.play_pair(net, variables, vb, key, tree_reuse="off", **kw)
+    np.testing.assert_array_equal(s_default, s_off)
+    s_on = arena.play_pair(net, variables, vb, key, tree_reuse="root", **kw)
+    s_asym = arena.play_pair(net, variables, vb, key, tree_reuse="root",
+                             tree_reuse_b="off", **kw)
+    for s in (s_on, s_asym):
+        assert s.shape == (B,)
+        assert set(np.unique(s)).issubset({0.0, 0.5, 1.0})
+    # reuse composes with the random baseline (search-free side carries
+    # nothing) and with Gumbel match play
+    s_rand = arena.play_pair(net, variables, None, key, tree_reuse="root",
+                             b_random=True, **kw)
+    assert s_rand.shape == (B,)
+    s_gum = arena.play_pair(net, variables, vb, key, tree_reuse="root",
+                            algorithm="gumbel", max_considered_actions=8,
+                            **kw)
+    assert s_gum.shape == (B,)
