@@ -63,7 +63,7 @@ def _make_side_probs(net, *, num_simulations: int, c_puct: float,
                      temperature: float, max_depth: int, compat: bool,
                      leaf_batch: int = 1, algorithm: str = "puct",
                      max_considered_actions: int = 16, c_visit: float = 50.0,
-                     c_scale: float = 0.1):
+                     c_scale: float = 0.1, warm_discount: float = 1.0):
     """Policy for one side: full MCTS at the tournament temperature, or the
     uniform random baseline (arena.py:177-188).
 
@@ -91,14 +91,15 @@ def _make_side_probs(net, *, num_simulations: int, c_puct: float,
                 max_considered_actions=max_considered_actions,
                 c_visit=c_visit, c_scale=c_scale, gumbel_scale=0.0,
                 max_depth=max_depth, compat=compat, leaf_batch=leaf_batch,
-                warm_root=warm)
+                warm_root=warm, warm_discount=warm_discount)
             return gumbel_lib.play_probs(gres, temperature), gres.tree.stats
         result = search_lib.run_search(
             net, variables, states, skey,
             num_simulations=num_simulations, c_puct=c_puct,
             dirichlet_alpha=0.3, dirichlet_epsilon=0.0,
             max_depth=max_depth, compat=compat, add_noise=False,
-            leaf_batch=leaf_batch, warm_root=warm)
+            leaf_batch=leaf_batch, warm_root=warm,
+            warm_discount=warm_discount)
         return search_lib.probs_with_temperature(
             result.visit_counts, jnp.float32(temperature)), result.tree.stats
 
@@ -113,7 +114,8 @@ def _make_side_probs(net, *, num_simulations: int, c_puct: float,
                      "leaf_batch", "leaf_batch_b", "algorithm",
                      "algorithm_b", "max_considered_actions", "c_visit",
                      "c_scale", "black_games", "mesh", "tree_reuse",
-                     "tree_reuse_b"),
+                     "tree_reuse_b", "tree_reuse_discount",
+                     "tree_reuse_discount_b"),
 )
 def _play_pair_parts(net, vars_a, vars_b, key: jax.Array, *, num_games: int,
                      num_simulations: int, c_puct: float, temperature: float,
@@ -131,7 +133,9 @@ def _play_pair_parts(net, vars_a, vars_b, key: jax.Array, *, num_games: int,
                      black_games: Optional[int] = None,
                      mesh: Optional[Mesh] = None,
                      tree_reuse: str = "off",
-                     tree_reuse_b: Optional[str] = None):
+                     tree_reuse_b: Optional[str] = None,
+                     tree_reuse_discount: float = 1.0,
+                     tree_reuse_discount_b: Optional[float] = None):
     """Play ``num_games`` games of A vs B, searching only for the mover.
 
     A plays BLACK in the first ``num_games // 2`` games and WHITE in the rest
@@ -229,7 +233,8 @@ def _play_pair_parts(net, vars_a, vars_b, key: jax.Array, *, num_games: int,
     probs_a_fn = _make_side_probs(
         net, num_simulations=num_simulations, c_puct=c_puct,
         temperature=temperature, max_depth=max_depth, compat=compat,
-        leaf_batch=leaf_batch, algorithm=algorithm, **gumbel_kw)
+        leaf_batch=leaf_batch, algorithm=algorithm,
+        warm_discount=tree_reuse_discount, **gumbel_kw)
     probs_b_fn = _make_side_probs(
         net,
         num_simulations=(num_simulations if num_simulations_b is None
@@ -238,6 +243,8 @@ def _play_pair_parts(net, vars_a, vars_b, key: jax.Array, *, num_games: int,
         compat=compat,
         leaf_batch=leaf_batch if leaf_batch_b is None else leaf_batch_b,
         algorithm=algorithm if algorithm_b is None else algorithm_b,
+        warm_discount=(tree_reuse_discount if tree_reuse_discount_b is None
+                       else tree_reuse_discount_b),
         **gumbel_kw)
 
     from .mcts import tree as tree_lib
@@ -453,7 +460,8 @@ class Arena:
             c_scale=cfg.c_scale,
             black_games=black_games,
             mesh=self.mesh,
-            tree_reuse=getattr(cfg, "tree_reuse", "off"))
+            tree_reuse=getattr(cfg, "tree_reuse", "off"),
+            tree_reuse_discount=getattr(cfg, "tree_reuse_discount", 1.0))
         return np.asarray(scores)
 
     def run_tournament(self, key: jax.Array,

@@ -101,6 +101,15 @@ class MCTSConfig:
     # Applied on the self-play path (selfplay.play_games); "off" disables
     # (bit-identical to the historical program).
     tree_reuse: str = "off"
+    # weight multiplier on the carried warm stats (tree.discount_warm:
+    # visits scale and round to integers, per-edge Q preserved). 1.0 =
+    # full weight — correct for Gumbel, whose halving schedule allocates
+    # on fresh counts (+155 ELO at the flagship Gumbel-32 cell,
+    # refbench/reuse_strength.json). PUCT conflates evidence with
+    # allocation: undiscounted warm counts suppress exploration of warm
+    # edges and give stale Q ~warm-visits of inertia (measured -59 ELO at
+    # PUCT-100); use a small discount (~0.25) there.
+    tree_reuse_discount: float = 1.0
 
 
 @dataclass
@@ -275,6 +284,9 @@ class TournamentConfig:
     # comparable; per-side asymmetry is a play_pair-level harness feature
     # (tree_reuse_b) used by refbench/reuse_strength.py.
     tree_reuse: str = "off"
+    # MCTSConfig.tree_reuse_discount semantics (1.0 = full-weight carry;
+    # use ~0.25 under algorithm="puct" — measured, reuse_strength.json)
+    tree_reuse_discount: float = 1.0
     temperature: float = 0.1
     output_dir: str = "tournament_results"
     elo_file: str = "elo_ratings.json"

@@ -180,7 +180,7 @@ def play_probs(result: GumbelResult, temperature) -> jax.Array:
     jax.jit,
     static_argnames=("net", "num_simulations", "max_considered_actions",
                      "c_visit", "c_scale", "gumbel_scale", "max_depth",
-                     "compat", "num_stages", "leaf_batch"),
+                     "compat", "num_stages", "leaf_batch", "warm_discount"),
 )
 def run_gumbel_search(net, variables: Dict[str, Any],
                       root_states: env.EnvState, key: jax.Array, *,
@@ -190,8 +190,8 @@ def run_gumbel_search(net, variables: Dict[str, Any],
                       gumbel_scale: float = 1.0, max_depth: int = 24,
                       compat: bool = False, num_stages: int = 6,
                       leaf_batch: int = 1,
-                      warm_root: Optional[Tuple[jax.Array, jax.Array]] = None
-                      ) -> GumbelResult:
+                      warm_root: Optional[Tuple[jax.Array, jax.Array]] = None,
+                      warm_discount: float = 1.0) -> GumbelResult:
     """Batched Gumbel search from ``root_states`` (leading batch axis B).
 
     ``gumbel_scale`` scales the root Gumbel draw: 1.0 for self-play
@@ -235,8 +235,11 @@ def run_gumbel_search(net, variables: Dict[str, Any],
     if warm_root is not None:
         warm_v = jnp.where(legal, jnp.maximum(
             warm_root[0].astype(jnp.float32), 0.0), 0.0)
-        trees = tree_lib.seed_root_stats(
-            trees, warm_v, warm_root[1].astype(jnp.float32), legal)
+        warm_s = warm_root[1].astype(jnp.float32)
+        if warm_discount != 1.0:
+            warm_v, warm_s = tree_lib.discount_warm(warm_v, warm_s,
+                                                    warm_discount)
+        trees = tree_lib.seed_root_stats(trees, warm_v, warm_s, legal)
     else:
         warm_v = None
     root_to_move = root_states.to_move

@@ -206,7 +206,8 @@ def _grow_tree(trees: tree_lib.Tree, capacity: int) -> tree_lib.Tree:
 @functools.partial(
     jax.jit,
     static_argnames=("net", "num_simulations", "max_depth", "compat",
-                     "add_noise", "num_stages", "leaf_batch"),
+                     "add_noise", "num_stages", "leaf_batch",
+                     "warm_discount"),
 )
 def run_search(net, variables: Dict[str, Any], root_states: env.EnvState,
                key: jax.Array, *, num_simulations: int, c_puct: float,
@@ -214,8 +215,8 @@ def run_search(net, variables: Dict[str, Any], root_states: env.EnvState,
                max_depth: int = 24, compat: bool = False,
                add_noise: bool = True, num_stages: int = 6,
                leaf_batch: int = 1,
-               warm_root: Optional[Tuple[jax.Array, jax.Array]] = None
-               ) -> SearchResult:
+               warm_root: Optional[Tuple[jax.Array, jax.Array]] = None,
+               warm_discount: float = 1.0) -> SearchResult:
     """Run batched MCTS from ``root_states`` (leading batch axis B).
 
     ``leaf_batch`` (``MCTSConfig.batch_size``) is the number of leaves each
@@ -241,6 +242,15 @@ def run_search(net, variables: Dict[str, Any], root_states: env.EnvState,
     search's ``num_simulations`` fresh visits (warm visits are subtracted),
     so training targets and temperature sampling are uncontaminated by the
     previous move's budget; ``root_value`` blends warm and fresh evidence.
+
+    ``warm_discount`` < 1 shrinks the warm evidence's WEIGHT while
+    preserving its per-edge Q (``tree.discount_warm``). In PUCT the warm
+    visit counts both suppress exploration of warm edges and give stale Q
+    ~warm-visits of inertia against fresh backups — measured at PUCT-100
+    to make undiscounted reuse WEAKER than a cold search (-59 ELO at
+    equal sims) even though the carry holds ~73% of the budget
+    (refbench/reuse_strength.json); a small discount keeps the evidence
+    and returns the allocation to near-cold behavior.
     """
     batch = root_states.to_move.shape[0]
     L = leaf_batch
@@ -267,8 +277,11 @@ def run_search(net, variables: Dict[str, Any], root_states: env.EnvState,
     if warm_root is not None:
         warm_v = jnp.where(legal, jnp.maximum(
             warm_root[0].astype(jnp.float32), 0.0), 0.0)
-        trees = tree_lib.seed_root_stats(
-            trees, warm_v, warm_root[1].astype(jnp.float32), legal)
+        warm_s = warm_root[1].astype(jnp.float32)
+        if warm_discount != 1.0:
+            warm_v, warm_s = tree_lib.discount_warm(warm_v, warm_s,
+                                                    warm_discount)
+        trees = tree_lib.seed_root_stats(trees, warm_v, warm_s, legal)
     root_to_move = root_states.to_move
     root_row = trees.rows[:, 0, :]
     root_p, root_lg = tree_lib.decode_prior_legal(root_row)

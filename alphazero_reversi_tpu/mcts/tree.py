@@ -313,6 +313,27 @@ def warm_stats_after(stats: jax.Array, a_self: jax.Array,
     return jnp.where(ok, visits, 0.0), jnp.where(ok, vsum, 0.0)
 
 
+def discount_warm(warm_visits: jax.Array, warm_vsum: jax.Array,
+                  discount: float) -> Tuple[jax.Array, jax.Array]:
+    """Scale a warm stat pair's WEIGHT while preserving its per-edge Q.
+
+    Carried visit counts do two different jobs in a PUCT search: they carry
+    *evidence* (Q = vsum/visits) and they steer *allocation* (the
+    exploration term divides by N, so heavily warm edges stop being
+    explored, and stale evidence gets ~warm-visits of inertia against
+    fresh signal). ``discount`` < 1 keeps the evidence but shrinks its
+    weight: visits scale by ``discount`` and ROUND TO INTEGERS (the packed
+    visits|child cell is exact only for integral visit counts —
+    fractional visits would corrupt the child-slot field), and vsum
+    rescales by the realized ratio so Q is preserved bit-for-bit on every
+    edge that survives rounding.
+    """
+    wv = jnp.maximum(warm_visits, 0.0)
+    scaled = jnp.round(wv * discount)
+    q = warm_vsum / jnp.maximum(wv, 1.0)
+    return scaled, q * scaled
+
+
 def seed_root_stats(tree: Tree, warm_visits: jax.Array,
                     warm_vsum: jax.Array, legal: jax.Array) -> Tree:
     """Install warm edge statistics at the root (slot-0 stats row).

@@ -90,7 +90,8 @@ def _outcome_value(final: env.EnvState, to_move: jax.Array) -> jax.Array:
     static_argnames=("net", "num_games", "num_simulations", "max_depth",
                      "max_moves", "compat", "num_stages", "leaf_batch",
                      "algorithm", "max_considered_actions", "c_visit",
-                     "c_scale", "tail_skip", "tree_reuse"),
+                     "c_scale", "tail_skip", "tree_reuse",
+                     "tree_reuse_discount"),
 )
 def play_games(net, variables: Dict[str, Any], key: jax.Array, *,
                num_games: int, num_simulations: int, c_puct: float,
@@ -101,7 +102,7 @@ def play_games(net, variables: Dict[str, Any], key: jax.Array, *,
                leaf_batch: int = 1, algorithm: str = "puct",
                max_considered_actions: int = 16, c_visit: float = 50.0,
                c_scale: float = 0.1, tail_skip: bool = True,
-               tree_reuse: str = "off",
+               tree_reuse: str = "off", tree_reuse_discount: float = 1.0,
                init_states: env.EnvState | None = None) -> Trajectory:
     """Play ``num_games`` games in lockstep; one XLA program end to end.
 
@@ -145,7 +146,7 @@ def play_games(net, variables: Dict[str, Any], key: jax.Array, *,
                 c_visit=c_visit, c_scale=c_scale, gumbel_scale=1.0,
                 max_depth=max_depth, compat=compat,
                 num_stages=num_stages, leaf_batch=leaf_batch,
-                warm_root=warm)
+                warm_root=warm, warm_discount=tree_reuse_discount)
             policy_target, actions = gres.action_probs, gres.chosen_action
             res_tree = gres.tree
         else:
@@ -156,7 +157,7 @@ def play_games(net, variables: Dict[str, Any], key: jax.Array, *,
                 dirichlet_epsilon=dirichlet_epsilon,
                 max_depth=max_depth, compat=compat, add_noise=True,
                 num_stages=num_stages, leaf_batch=leaf_batch,
-                warm_root=warm)
+                warm_root=warm, warm_discount=tree_reuse_discount)
             temp = jnp.where(t < temp_threshold, jnp.float32(temp_init),
                              jnp.float32(temp_final))
             probs = search_lib.probs_with_temperature(result.visit_counts,
@@ -286,6 +287,7 @@ def search_kwargs(mcts_config: MCTSConfig, sp_config: SelfPlayConfig,
         c_visit=mcts_config.c_visit,
         c_scale=mcts_config.c_scale,
         tree_reuse=mcts_config.tree_reuse,
+        tree_reuse_discount=mcts_config.tree_reuse_discount,
     )
 
 

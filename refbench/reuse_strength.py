@@ -60,12 +60,13 @@ def record(scores_a: np.ndarray) -> dict:
     score = (w + 0.5 * d) / n
     s = min(max(score, 1.0 / (4 * n)), 1 - 1.0 / (4 * n))
     se = math.sqrt(max(score * (1 - score), 1e-9) / n)
+    # delta method: d(elo)/d(score) = 400 / (ln10 * s * (1-s))
     return {"games": n, "w": w, "d": d, "l": losses,
             "score": round(score, 4),
             "elo_diff": round(400 * math.log10(s / (1 - s)), 1),
-            "elo_se95": round(
-                400 / math.log(10) * 1.96 * se / max(s * (1 - s), 1e-9)
-                * 0.25, 1)}
+            "elo_ci95": round(
+                1.96 * se * 400 / (math.log(10) * max(s * (1 - s), 1e-9)),
+                1)}
 
 
 def warm_fraction(net, variables, *, algorithm: str, sims: int,
@@ -152,7 +153,23 @@ def main():
         ("gumbel24_reuse_vs_gumbel32_cold",
          dict(num_simulations=24, num_simulations_b=32, algorithm="gumbel",
               **gk)),
+        # the PUCT fix: same carry at 1/4 weight (Q preserved, allocation
+        # distortion + stale-evidence inertia shrunk — tree.discount_warm)
+        ("puct100_reuse_d25_vs_cold",
+         dict(num_simulations=100, algorithm="puct",
+              tree_reuse_discount=0.25)),
+        ("gumbel32_reuse_d25_vs_cold",
+         dict(num_simulations=32, algorithm="gumbel",
+              tree_reuse_discount=0.25, **gk)),
     ]
+    only = os.environ.get("AZR_CELLS")
+    if only:
+        want = set(only.split(","))
+        cells = [c for c in cells if c[0] in want]
+        prev = os.path.join(HERE, "reuse_strength.json")
+        if os.path.exists(prev):  # merge into the existing artifact
+            results = {**json.load(open(prev)), **results}
+    skip_ceiling = bool(only) or os.environ.get("AZR_SKIP_CEILING")
     for i, (name, kw) in enumerate(cells):
         t0 = time.time()
         scores = play_pair(
@@ -164,14 +181,15 @@ def main():
         results[name] = rec
         print(name, json.dumps(rec), flush=True)
 
-    results["ceiling_gumbel32"] = warm_fraction(
-        net, v, algorithm="gumbel", sims=32, **gk)
-    print("ceiling_gumbel32", json.dumps(results["ceiling_gumbel32"]),
-          flush=True)
-    results["ceiling_puct100"] = warm_fraction(
-        net, v, algorithm="puct", sims=100)
-    print("ceiling_puct100", json.dumps(results["ceiling_puct100"]),
-          flush=True)
+    if not skip_ceiling:
+        results["ceiling_gumbel32"] = warm_fraction(
+            net, v, algorithm="gumbel", sims=32, **gk)
+        print("ceiling_gumbel32", json.dumps(results["ceiling_gumbel32"]),
+              flush=True)
+        results["ceiling_puct100"] = warm_fraction(
+            net, v, algorithm="puct", sims=100)
+        print("ceiling_puct100", json.dumps(results["ceiling_puct100"]),
+              flush=True)
 
     out = os.path.join(HERE, "reuse_strength.json")
     with open(out, "w") as f:

@@ -187,6 +187,37 @@ def test_warm_q_steers_selection(net_and_vars):
     assert favored.sum() > disfavored.sum()
 
 
+def test_warm_discount_semantics(net_and_vars):
+    """discount=1 is bit-identical to the undiscounted path, discount=0 to
+    a cold search; fractional discounts preserve per-edge Q and keep the
+    packed visit counts integral (the packed visits|child cell is exact
+    only for integer visits)."""
+    net, variables = net_and_vars
+    _, _, wv, ws, new_states = _warm_after_search(net, variables, "puct")
+    key = jax.random.PRNGKey(11)
+    r1 = search_lib.run_search(net, variables, new_states, key, **PUCT_KW,
+                               warm_root=(wv, ws))
+    r1b = search_lib.run_search(net, variables, new_states, key, **PUCT_KW,
+                                warm_root=(wv, ws), warm_discount=1.0)
+    assert jnp.array_equal(r1.visit_counts, r1b.visit_counts)
+    r0 = search_lib.run_search(net, variables, new_states, key, **PUCT_KW,
+                               warm_root=(wv, ws), warm_discount=0.0)
+    cold = search_lib.run_search(net, variables, new_states, key, **PUCT_KW)
+    assert jnp.array_equal(r0.visit_counts, cold.visit_counts)
+    r25 = search_lib.run_search(net, variables, new_states, key, **PUCT_KW,
+                                warm_root=(wv, ws), warm_discount=0.25)
+    np.testing.assert_array_equal(np.asarray(r25.visit_counts.sum(-1)),
+                                  np.full(B, SIMS))
+
+    dv, ds = tree_lib.discount_warm(wv, ws, 0.5)
+    dv_np, ds_np = np.asarray(dv), np.asarray(ds)
+    assert (dv_np == np.round(dv_np)).all()
+    mask = dv_np > 0
+    np.testing.assert_allclose(
+        ds_np[mask] / dv_np[mask],
+        np.asarray(ws)[mask] / np.asarray(wv)[mask], rtol=1e-6)
+
+
 @pytest.mark.parametrize("algorithm", ["puct", "gumbel"])
 def test_play_games_reuse_modes(net_and_vars, algorithm):
     net, variables = net_and_vars
