@@ -106,6 +106,21 @@ def _make_side_probs(net, *, num_simulations: int, c_puct: float,
     return side_probs
 
 
+def _constrain_states(mesh: Optional[Mesh], states: env.EnvState) -> env.EnvState:
+    """Pin an [n]-leaved state batch to the mesh's ``data`` axis (or
+    replicated when n doesn't divide it). Applied at creation AND at every
+    ply's output so a scan carry keeps the layout; ``mesh=None`` is the
+    identity."""
+    if mesh is None:
+        return states
+    n = states.done.shape[0]
+    d = mesh.shape[mesh_lib.DATA_AXIS]
+    spec = P(mesh_lib.DATA_AXIS) if (n % d == 0 and n > 0) else P()
+    sh = NamedSharding(mesh, spec)
+    return jax.tree_util.tree_map(
+        lambda x: jax.lax.with_sharding_constraint(x, sh), states)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("net", "num_games", "num_simulations", "max_depth",
@@ -202,17 +217,7 @@ def _play_pair_parts(net, vars_a, vars_b, key: jax.Array, *, num_games: int,
         half = black_games
 
     def constrain(states: env.EnvState) -> env.EnvState:
-        """Pin a half's [n]-leaved state batch to the data axis (or
-        replicated when n doesn't divide it). Applied at creation AND at
-        every ply's output so the scan carry keeps the layout."""
-        if mesh is None:
-            return states
-        n = states.done.shape[0]
-        d = mesh.shape[mesh_lib.DATA_AXIS]
-        spec = P(mesh_lib.DATA_AXIS) if (n % d == 0 and n > 0) else P()
-        sh = NamedSharding(mesh, spec)
-        return jax.tree_util.tree_map(
-            lambda x: jax.lax.with_sharding_constraint(x, sh), states)
+        return _constrain_states(mesh, states)
 
     # the two color-halves are INDEPENDENT state batches (A-as-BLACK games,
     # A-as-WHITE games) rather than slices of one array: each half can then
@@ -408,6 +413,252 @@ def play_pair_lockstep(net, vars_a, vars_b, key: jax.Array, *, num_games: int,
     return _score_a(final, a_color)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("net", "units", "random_mask", "num_simulations",
+                     "max_depth", "max_moves", "compat", "pass_slack",
+                     "leaf_batch", "algorithm", "max_considered_actions",
+                     "c_visit", "c_scale", "mesh", "tree_reuse",
+                     "tree_reuse_discount"),
+)
+def _play_units_parts(net, models, unit_keys, *, units, random_mask,
+                      num_simulations: int, c_puct: float,
+                      temperature: float, max_depth: int = 64,
+                      max_moves: int = 60, compat: bool = False,
+                      pass_slack: int = 16, leaf_batch: int = 1,
+                      algorithm: str = "puct",
+                      max_considered_actions: int = 16, c_visit: float = 50.0,
+                      c_scale: float = 0.1, mesh: Optional[Mesh] = None,
+                      tree_reuse: str = "off",
+                      tree_reuse_discount: float = 1.0):
+    """Play EVERY (pairing, color-half) tournament unit in ONE compiled
+    program, sharing each ply's searches across pairings (the PERF.md r5
+    "merge the gate's pairings" lever; reference analog — the per-match
+    host loop being batched away: /root/reference/src/arena/arena.py:288-389).
+
+    ``units`` (static): tuple of ``(a_idx, b_idx, num_games, a_color)``
+    single-color work units — indices into ``models``, the unit's game
+    count, and the color A plays for the whole unit (the
+    ``Arena._tournament_units`` decomposition). ``models`` (traced): one
+    variables pytree per distinct player, ``None`` for the random
+    baseline; ``random_mask`` (static) marks which entries are random.
+    ``unit_keys``: stacked per-unit PRNG keys, row u driving unit u.
+
+    Sharing structure: every game starts with BLACK to move and the
+    scheduled mover color alternates by ply, so at a given half-ply each
+    unit's searcher is a statically-known model index (``a_idx`` when the
+    unit's A-color owns the scheduled color, else ``b_idx``). Units with
+    the same searcher CONCATENATE into one search batch — one net search
+    per distinct model per half-ply instead of one per unit. For the
+    promotion gate (players current/best/random; 6 units) that is 2
+    searches per half-ply at 2x the batch instead of 4 at 1x: half the
+    per-ply fixed costs, which dominate at gate-sized batches (round cost
+    is ~flat in B — PERF.md), plus 3 dispatches -> 1.
+
+    Per-unit RNG streams replicate ``_play_pair_parts``'s exactly (the
+    same split chain per unit: ``split(ukey, num_pairs)`` then
+    ``kb, kw = split(pair_key)`` then ``k_search, k_sample =
+    split(step_key, 2)``), and arena searches are key-free (PUCT with
+    ``add_noise=False``; Gumbel at ``gumbel_scale=0``), so each unit's
+    outcome matches its standalone ``play_pair(black_games=...)`` run —
+    bit-exactly for random players, and up to batch-concat numerics (same
+    math, larger rows) for net searches. Move application, pass_slack
+    realignment, scoring, mesh constraint, and ``tree_reuse="root"``
+    grandchild carries all follow ``_play_pair_parts`` (each unit keeps
+    its own per-side carry; group searches concatenate the movers'
+    carries before the warm-stat extraction).
+
+    Returns a tuple of per-unit score arrays (``_score_a`` semantics).
+    """
+    from .mcts import tree as tree_lib
+
+    n_units = len(units)
+    if n_units == 0:
+        return ()
+    for a_idx, b_idx, n, a_col in units:
+        if n <= 0:
+            raise ValueError(f"unit game count {n} must be positive")
+        if a_col not in (env.BLACK, env.WHITE):
+            raise ValueError(f"unit a_color {a_col} not BLACK/WHITE")
+        for m_idx in (a_idx, b_idx):
+            if not 0 <= m_idx < len(models):
+                raise ValueError(f"unit model index {m_idx} out of range")
+    if tree_reuse not in ("off", "root"):
+        raise ValueError(f"unknown tree_reuse mode {tree_reuse!r}")
+    reuse = tree_reuse == "root"
+
+    side_probs = _make_side_probs(
+        net, num_simulations=num_simulations, c_puct=c_puct,
+        temperature=temperature, max_depth=max_depth, compat=compat,
+        leaf_batch=leaf_batch, algorithm=algorithm,
+        max_considered_actions=max_considered_actions, c_visit=c_visit,
+        c_scale=c_scale, warm_discount=tree_reuse_discount)
+
+    parts0 = tuple(_constrain_states(mesh, env.initial_state((n,)))
+                   for (_, _, n, _) in units)
+    width = (num_simulations + 1) * tree_lib.STRIDE
+
+    def init_carries():
+        carries = []
+        for a_idx, b_idx, n, _ in units:
+            per_side = []
+            for m_idx in (a_idx, b_idx):
+                if not reuse or random_mask[m_idx]:
+                    per_side.append(None)
+                    continue
+                per_side.append((jnp.zeros((n, width), jnp.float32),
+                                 jnp.full((n,), -1, jnp.int32),
+                                 jnp.full((n,), -1, jnp.int32)))
+            carries.append(tuple(per_side))
+        return tuple(carries)
+
+    def groups_for(sched_color: int):
+        """Static searcher grouping: model index -> units it moves for at
+        this scheduled color, in unit order (deterministic trace)."""
+        groups: Dict[int, List[int]] = {}
+        for u, (a_idx, b_idx, _, a_col) in enumerate(units):
+            m_idx = a_idx if a_col == sched_color else b_idx
+            groups.setdefault(m_idx, []).append(u)
+        return sorted(groups.items())
+
+    mesh_d = mesh.shape[mesh_lib.DATA_AXIS] if mesh is not None else 1
+
+    def group_cat(us):
+        """Concat/split for one search group's unit batches. On a mesh,
+        plain ``jnp.concatenate`` of data-sharded unit batches is a
+        cross-shard RESHARD (device d owns a contiguous slice of the
+        concatenated array, which interleaves pieces of every unit's
+        shards — GSPMD inserts all-gather/collective-permute). The
+        shard-BLOCK interleaved layout avoids it: reshape each unit to
+        ``[d, n/d, ...]`` (sharded on the leading axis), concat on axis 1
+        (local), flatten back — device d then owns exactly its own block
+        of every unit, zero communication. Per-game math is order-
+        independent, and ``split`` inverts the same layout, so results
+        are identical to the plain concat (and HLO-asserted
+        collective-free, tests/test_arena_merged.py)."""
+        sizes = [units[u][2] for u in us]
+        total = sum(sizes)
+        inter = (mesh_d > 1 and all(n % mesh_d == 0 for n in sizes)
+                 and len(us) > 1)
+
+        def cat(*xs):
+            if len(xs) == 1:
+                return xs[0]
+            if not inter:
+                return jnp.concatenate(xs, axis=0)
+            blocks = [x.reshape((mesh_d, x.shape[0] // mesh_d)
+                                + x.shape[1:]) for x in xs]
+            return jnp.concatenate(blocks, axis=1).reshape(
+                (total,) + xs[0].shape[1:])
+
+        def split(y):
+            if len(us) == 1:
+                return {us[0]: y}
+            out = {}
+            if not inter:
+                off = 0
+                for u, n in zip(us, sizes):
+                    out[u] = y[off:off + n]
+                    off += n
+                return out
+            yb = y.reshape((mesh_d, total // mesh_d) + y.shape[1:])
+            off = 0
+            for u, n in zip(us, sizes):
+                out[u] = yb[:, off:off + n // mesh_d].reshape(
+                    (n,) + y.shape[1:])
+                off += n // mesh_d
+            return out
+
+        return cat, split, inter
+
+    def half_ply(parts, carries, step_keys, sched_color: int):
+        sub = [jax.random.split(step_keys[u], 2) for u in range(n_units)]
+        probs_p: List[Any] = [None] * n_units
+        stats_p: List[Any] = [None] * n_units
+        for m_idx, us in groups_for(sched_color):
+            if random_mask[m_idx]:
+                for u in us:
+                    probs_p[u] = _random_probs(parts[u], compat)
+                continue
+            cat, split, inter = group_cat(us)
+            states_cat = jax.tree_util.tree_map(
+                cat, *(parts[u] for u in us))
+            if inter:
+                states_cat = _constrain_states(mesh, states_cat)
+            warm = None
+            if reuse:
+                comps = [carries[u][0 if units[u][3] == sched_color else 1]
+                         for u in us]
+                warm = tree_lib.warm_stats_after(
+                    *(cat(*(c[i] for c in comps)) for i in range(3)))
+            probs_cat, stats_cat = side_probs(
+                states_cat, sub[us[0]][0], models[m_idx], False, warm)
+            probs_split = split(probs_cat)
+            stats_split = (split(stats_cat) if stats_cat is not None
+                           else None)
+            for u in us:
+                probs_p[u] = probs_split[u]
+                if stats_split is not None:
+                    stats_p[u] = stats_split[u]
+        out_parts, out_carries = [], []
+        for u, (a_idx, b_idx, n, a_col) in enumerate(units):
+            states = parts[u]
+            actions = search_lib.sample_actions(sub[u][1], probs_p[u])
+            move_ok = (states.to_move == sched_color) & ~states.done
+            new_states, _ = env.step(states, actions, compat=compat)
+            out_parts.append(_constrain_states(mesh, jax.tree_util.tree_map(
+                lambda new, old: jnp.where(move_ok, new, old),
+                new_states, states)))
+            mover = 0 if a_col == sched_color else 1
+            new_sides = list(carries[u])
+            cm = carries[u][mover]
+            if cm is not None and stats_p[u] is not None:
+                stats, a_self, a_opp = cm
+                new_sides[mover] = (
+                    jnp.where(move_ok[:, None], stats_p[u], stats),
+                    jnp.where(move_ok, actions, a_self),
+                    jnp.where(move_ok, -1, a_opp))
+            co = carries[u][1 - mover]
+            if co is not None:
+                stats_o, a_self_o, a_opp_o = co
+                invalid = move_ok & (a_opp_o >= 0)
+                new_sides[1 - mover] = (
+                    stats_o,
+                    jnp.where(invalid, -1, a_self_o),
+                    jnp.where(invalid, -1,
+                              jnp.where(move_ok, actions, a_opp_o)))
+            out_carries.append(tuple(new_sides))
+        return tuple(out_parts), tuple(out_carries)
+
+    def ply_pair(carry, pair_keys_t):
+        parts, carries = carry
+        kb_kw = [jax.random.split(pair_keys_t[u]) for u in range(n_units)]
+        kb = jnp.stack([kk[0] for kk in kb_kw])
+        kw = jnp.stack([kk[1] for kk in kb_kw])
+        parts, carries = half_ply(parts, carries, kb, env.BLACK)
+        parts, carries = half_ply(parts, carries, kw, env.WHITE)
+        return (parts, carries), None
+
+    num_pairs = (max_moves + pass_slack + 1) // 2
+    xs = jnp.stack([jax.random.split(unit_keys[u], num_pairs)
+                    for u in range(n_units)], axis=1)  # [num_pairs, U, key]
+    (final_parts, _), _ = jax.lax.scan(ply_pair, (parts0, init_carries()),
+                                       xs)
+    return tuple(_score_a(f, jnp.int32(units[u][3]))
+                 for u, f in enumerate(final_parts))
+
+
+def play_units(net, models, units, unit_keys, **kwargs) -> List[np.ndarray]:
+    """Host wrapper of :func:`_play_units_parts`: ONE compiled dispatch for
+    a whole list of single-color tournament units. ``models`` a sequence of
+    variables pytrees (``None`` = random baseline), ``units`` a sequence of
+    ``(a_idx, b_idx, num_games, a_color)``, ``unit_keys`` one PRNG key per
+    unit. Returns per-unit ``score_a`` arrays (``play_pair`` scoring)."""
+    out = _play_units_parts(net, tuple(models), jnp.stack(list(unit_keys)),
+                            units=tuple(tuple(u) for u in units), **kwargs)
+    return [np.asarray(s) for s in out]
+
+
 class Arena:
     """Round-robin tournament league (arena.py:200-409).
 
@@ -464,6 +715,34 @@ class Arena:
             tree_reuse_discount=getattr(cfg, "tree_reuse_discount", 1.0))
         return np.asarray(scores)
 
+    def play_units_merged(self, units) -> List[np.ndarray]:
+        """Play a list of ``_tournament_units`` work units —
+        ``(i, j, num_games, black_games, ukey)`` with ``black_games`` in
+        ``{0, num_games}`` — as ONE merged device program
+        (:func:`play_units`), sharing searches across pairings. Returns
+        per-unit score arrays in input order."""
+        cfg = self.config
+        models = tuple(p.variables for p in self.players)
+        spec = []
+        keys = []
+        for i, j, ng, bg, ukey in units:
+            if bg not in (0, ng):
+                raise ValueError(
+                    f"merged units must be single-color (black_games={bg}, "
+                    f"num_games={ng})")
+            spec.append((i, j, ng, int(env.BLACK) if bg else int(env.WHITE)))
+            keys.append(ukey)
+        return play_units(
+            self.net, models, spec, keys,
+            random_mask=tuple(v is None for v in models),
+            num_simulations=cfg.num_simulations, c_puct=cfg.c_puct,
+            temperature=cfg.temperature, compat=self.compat,
+            algorithm=cfg.algorithm,
+            max_considered_actions=cfg.max_considered_actions,
+            c_visit=cfg.c_visit, c_scale=cfg.c_scale, mesh=self.mesh,
+            tree_reuse=getattr(cfg, "tree_reuse", "off"),
+            tree_reuse_discount=getattr(cfg, "tree_reuse_discount", 1.0))
+
     def run_tournament(self, key: jax.Array,
                        rounds: Optional[int] = None) -> List[Dict]:
         """Every pair plays ``games_per_pair`` games per round; first mover
@@ -471,6 +750,15 @@ class Arena:
         ELO updates, as the reference does (arena.py:347)."""
         rounds = rounds if rounds is not None else self.config.rounds
         n = len(self.players)
+        if getattr(self.config, "merge_pairings", False):
+            # merge_pairings supersedes batch_rounds: the canonical
+            # (pairing, color-half) unit decomposition (same game counts
+            # and ELO replay order as batch_rounds; same documented
+            # color-split divergence) played as ONE device program for the
+            # whole tournament instead of one per pairing —
+            # run_tournament_sharded's single-shard form routes through
+            # play_units_merged.
+            return self.run_tournament_sharded(key, rounds=rounds)
         if getattr(self.config, "batch_rounds", False):
             # all rounds of a pairing in ONE batched device call —
             # ~rounds-x fewer dispatches, which dominates small evals
@@ -574,13 +862,26 @@ class Arena:
             return self.elo.get_leaderboard()
         max_g = max(u[2] for u in units)
         scores = np.zeros((len(units), max_g), np.float32)
-        for u_idx, (i, j, ng, bg, ukey) in enumerate(units):
-            if u_idx % shard_count != shard_index:
-                continue
-            self.units_played.append(u_idx)
-            s = self.play_games(self.players[i], self.players[j], ukey, ng,
-                                black_games=bg)
-            scores[u_idx, :ng] = s
+        mine = [(u_idx, u) for u_idx, u in enumerate(units)
+                if u_idx % shard_count == shard_index]
+        self.units_played = [u_idx for u_idx, _ in mine]
+        if getattr(self.config, "merge_pairings", False) and mine:
+            # ALL of this shard's units in ONE compiled program, sharing
+            # each half-ply's searches across pairings by searcher model
+            # (_play_units_parts — the PERF.md r5 merged-gate lever). The
+            # unit decomposition, per-unit keys, and score layout are
+            # UNCHANGED, so the ELO replay below and the shard-count
+            # invariance are untouched; per-unit results match the
+            # play_games path (exactly for random players / deterministic
+            # play — arena searches are key-free).
+            merged_scores = self.play_units_merged([u for _, u in mine])
+            for (u_idx, (i, j, ng, bg, _)), s in zip(mine, merged_scores):
+                scores[u_idx, :ng] = s
+        else:
+            for u_idx, (i, j, ng, bg, ukey) in mine:
+                s = self.play_games(self.players[i], self.players[j], ukey,
+                                    ng, black_games=bg)
+                scores[u_idx, :ng] = s
         if gather is not None:
             owners = np.arange(len(units)) % shard_count
             scores = gather(scores, owners)

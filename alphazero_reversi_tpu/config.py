@@ -277,6 +277,18 @@ class TournamentConfig:
     # difference is the color assignment: an exact half/half split per
     # pairing instead of alternating the first mover by round.
     batch_rounds: bool = False
+    # True = play the ENTIRE tournament (every pairing's color-half units,
+    # the run_tournament_sharded decomposition) as ONE compiled device
+    # program, sharing each half-ply's searches across pairings by
+    # searcher model (arena._play_units_parts — for the 3-player promotion
+    # gate: 2 merged searches per half-ply at 2x batch instead of 4, and
+    # one dispatch instead of three; per-ply fixed costs dominate at
+    # gate-sized batches, PERF.md r5). Game counts, per-unit keys, and the
+    # ELO replay order are identical to batch_rounds (which this
+    # supersedes when both are set); per-unit results match the unmerged
+    # path exactly for random players and deterministic play. Multi-process
+    # runs compose: each process merges ITS unit shard into one program.
+    merge_pairings: bool = False
     # 1-level tree reuse across each side's consecutive searches in a game
     # ("off" | "root" — MCTSConfig.tree_reuse semantics, applied to BOTH
     # sides of every arena match via the grandchild carry,
